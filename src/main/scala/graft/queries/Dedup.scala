@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Deduplication family over `documents` — exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, rolling-hash fingerprinting. All hashing
+  * is md5-derived so the DuckDB oracle reproduces bit-identical values.
+  *
+  * Scale notes (100 TB): every query here is shuffle-on-key only —
+  * shingle explode is map-side, signatures are groupBy(doc) partial-agg,
+  * LSH pair generation joins on band signature (never all-pairs).
+  */
+object Dedup {
+
+  private def toks(c: org.apache.spark.sql.Column) =
+    split(trim(lower(c)), "\\s+")
+
+  /** Word 3-gram shingles (distinct), for docs with >= 3 tokens. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("w", toks(col("text")))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", explode(transform(
+        sequence(lit(1), size(col("w")) - 2),
+        i => concat_ws(" ", slice(col("w"), i, lit(3))))))
+      .select("doc_id", "source", "sh")
+      .distinct()
+
+  private val shingleCte: String =
+    """shingles AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    unnest([array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w)-2)]) AS sh
+      |  FROM (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  /** Exact dedup: hash-groupBy on normalized text, first-occurrence keep
+    * (enqueue-side dedup gate semantics, utils/queue_utils.py:61-66). */
+  def q20DedupExact(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("doc_id")
+    documents(s, d)
+      .withColumn("k", md5(lower(trim(col("text")))))
+      .withColumn("dup_rank", row_number().over(w))
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy("k")))
+      .select(col("doc_id"), col("k").as("content_key"), col("dup_rank"),
+        col("group_size"), (col("dup_rank") === 1).as("keep"))
+  }
+
+  val q20Sql: String =
+    """SELECT doc_id, k AS content_key, dup_rank, group_size, dup_rank = 1 AS keep
+      |FROM (SELECT doc_id, k,
+      |    row_number() OVER (PARTITION BY k ORDER BY doc_id) AS dup_rank,
+      |    count(*) OVER (PARTITION BY k) AS group_size
+      |  FROM (SELECT doc_id, md5(lower(trim(text))) AS k FROM documents))""".stripMargin
+
+  /** n-gram Jaccard near-dup: pairs within a source sharing >= 1 shingle,
+    * jaccard = |A∩B| / |A∪B| (exact ints → exact double). */
+  def q21NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("source"), col("sh"))
+    a.join(b, Seq("source", "sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.02)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+  }
+
+  val q21Sql: String =
+    s"""WITH $shingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM shingles a JOIN shingles b
+       |    ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |  round(cast(inter as double) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE round(cast(inter as double) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.02""".stripMargin
+
+  /** MinHash signatures: 8 hash functions h_i(x) = md5(i || '|' || x),
+    * signature_i = min over shingles (string min — md5 hex orders
+    * uniformly). Long format (doc_id, i, minhash). */
+  def q22MinhashSig(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
+      .withColumn("i", explode(sequence(lit(0), lit(7))))
+      .groupBy("doc_id", "i")
+      .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("sh")))).as("minhash"))
+
+  val q22Sql: String =
+    s"""WITH $shingleCte
+       |SELECT doc_id, i, min(md5(concat(cast(i as varchar), '|', sh))) AS minhash
+       |FROM shingles, (SELECT unnest(generate_series(0, 7)) AS i)
+       |GROUP BY doc_id, i""".stripMargin
+
+  /** MinHash-LSH candidate pairs: 4 bands × 2 rows; pair iff some band
+    * signature matches (the shingle→minhash→band→bucket-join scale path:
+    * no all-pairs comparison ever materializes). */
+  def q23MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sig = q22MinhashSig(s, d)
+      .withColumn("band", (col("i") / 2).cast("int"))
+    val bandSig = sig.groupBy("doc_id", "band")
+      .agg(concat_ws("|",
+        min(when(col("i") % 2 === 0, col("minhash"))),
+        min(when(col("i") % 2 === 1, col("minhash")))).as("band_sig"))
+    val a = bandSig.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+    val b = bandSig.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  val q23Sql: String =
+    s"""WITH $shingleCte,
+       |sig AS (
+       |  SELECT doc_id, i, min(md5(concat(cast(i as varchar), '|', sh))) AS minhash
+       |  FROM shingles, (SELECT unnest(generate_series(0, 7)) AS i)
+       |  GROUP BY doc_id, i),
+       |band_sig AS (
+       |  SELECT doc_id, cast(i // 2 as int) AS band,
+       |    concat(min(CASE WHEN i % 2 = 0 THEN minhash END), '|',
+       |           min(CASE WHEN i % 2 = 1 THEN minhash END)) AS band_sig
+       |  FROM sig GROUP BY 1, 2)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM band_sig a JOIN band_sig b
+       |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""".stripMargin
+
+  /** SimHash (16-bit): per-token 60-bit hash, bit-majority vote weighted
+    * by token multiplicity. */
+  def q24Simhash(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("tok", explode(toks(col("text"))))
+      .withColumn("h", h60(col("tok")))
+      .withColumn("j", explode(sequence(lit(0), lit(15))))
+      .withColumn("bit", expr("(shiftright(h, j) & 1)"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("bit") * 2 - 1).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") >= 0, expr("shiftleft(1L, j)")).otherwise(lit(0L))).as("simhash"))
+
+  val q24Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |bits AS (
+       |  SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS vote
+       |  FROM (SELECT doc_id, ${h60Sql("tok")} AS h FROM tok),
+       |       (SELECT unnest(generate_series(0, 15)) AS j)
+       |  GROUP BY doc_id, j)
+       |SELECT doc_id,
+       |  sum(CASE WHEN vote >= 0 THEN (cast(1 as bigint) << j) ELSE 0 END) AS simhash
+       |FROM bits GROUP BY doc_id""".stripMargin
+
+  /** Document fingerprinting: rolling char 8-gram hashes; keep the min
+    * fingerprint + distinct count (winnowing-lite). */
+  def q25DocFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(length(col("text")) >= 8)
+      .withColumn("g", explode(sequence(lit(1), length(col("text")) - 7)))
+      .withColumn("fp", h60(col("text").substr(col("g"), lit(8))))
+      .groupBy("doc_id")
+      .agg(min(col("fp")).as("min_fp"), countDistinct(col("fp")).as("n_distinct_fp"))
+
+  val q25Sql: String =
+    s"""SELECT doc_id, min(fp) AS min_fp, count(DISTINCT fp) AS n_distinct_fp
+       |FROM (
+       |  SELECT doc_id, ${h60Sql("substr(text, g, 8)")} AS fp
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, length(text) - 7)) AS g
+       |        FROM documents WHERE length(text) >= 8))
+       |GROUP BY doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact"     -> q20DedupExact _,
+    "q21_ngram_jaccard"   -> q21NgramJaccard _,
+    "q22_minhash_sig"     -> q22MinhashSig _,
+    "q23_minhash_lsh"     -> q23MinhashLsh _,
+    "q24_simhash"         -> q24Simhash _,
+    "q25_doc_fingerprint" -> q25DocFingerprint _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q20_dedup_exact"     -> q20Sql,
+    "q21_ngram_jaccard"   -> q21Sql,
+    "q22_minhash_sig"     -> q22Sql,
+    "q23_minhash_lsh"     -> q23Sql,
+    "q24_simhash"         -> q24Sql,
+    "q25_doc_fingerprint" -> q25Sql,
+  )
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Embedding similarity-search family over `embeddings`
+  * (vec_id:long, embedding:array<float>, label:int).
+  *
+  * Cross-engine float determinism: elements are quantized to int64
+  * (round(x*1000)) before any accumulation, so dot products and norms
+  * are exact integer math — identical in Spark and DuckDB regardless
+  * of accumulation order / SIMD. This is the int-quantized similarity
+  * trick used by production ANN systems, doubling as the parity fix.
+  *
+  * Scale path: brute-force top-k broadcasts the (small) query set and
+  * never shuffles the corpus; IVF assignment broadcasts centroids —
+  * both stay a single scan of the big side at 100 TB.
+  */
+object Embed {
+
+  /** Quantized copy of the embedding: array<long>, round(x*1000). */
+  private def qvec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+
+  private val qvecSql =
+    "list_transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** sqrt of the quantized self-dot (double — exact input, both engines). */
+  private def qnorm(a: Column): Column = sqrt(qdot(a, a).cast("double"))
+
+  /** L2 norms + quantized self-dot — the parity canary for the family. */
+  def q26EmbedNorm(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("q", qvec(col("embedding")))
+      .select(col("vec_id"), col("label"),
+        qdot(col("q"), col("q")).as("qdot_self"),
+        round(qnorm(col("q")) / 1000.0, 6).as("l2_norm"))
+
+  val q26Sql: String =
+    s"""SELECT vec_id, label,
+       |  list_dot_product(q, q) AS qdot_self,
+       |  round(sqrt(cast(list_dot_product(q, q) as double)) / 1000.0, 6) AS l2_norm
+       |FROM (SELECT vec_id, label, $qvecSql AS q FROM embeddings)""".stripMargin
+
+  /** Brute-force cosine top-k: query set = vec_id < 10 (broadcast),
+    * k = 3 nearest per query, rank by exact integer-derived cosine. */
+  def q27CosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).withColumn("q", qvec(col("embedding")))
+    val queries = e.select(col("vec_id").as("query_id"), col("q").as("qa"))
+      .filter(col("query_id") < 10)
+    val corpus = e.select(col("vec_id").as("cand_id"), col("q").as("qb"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
+    corpus.join(broadcast(queries), col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim",
+        qdot(col("qa"), col("qb")).cast("double") / (qnorm(col("qa")) * qnorm(col("qb"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  val q27Sql: String =
+    s"""WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+       |sims AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |    cast(list_dot_product(a.qv, b.qv) as double) /
+       |      (sqrt(cast(list_dot_product(a.qv, a.qv) as double)) *
+       |       sqrt(cast(list_dot_product(b.qv, b.qv) as double))) AS cos_sim
+       |  FROM q a JOIN q b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+       |SELECT query_id, cand_id, rank, round(cos_sim, 6) AS cos_sim
+       |FROM (SELECT *, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+       |      FROM sims)
+       |WHERE rank <= 3""".stripMargin
+
+  /** IVF coarse assignment: centroids = vec_id < 8 (broadcast); assign
+    * every vector to its nearest centroid — the scale path for ANN
+    * (probe only matching cells at query time). */
+  def q28IvfAssign(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).withColumn("q", qvec(col("embedding")))
+    val cents = e.select(col("vec_id").as("centroid_id"), col("q").as("cv"))
+      .filter(col("centroid_id") < 8)
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("centroid_id"))
+    e.join(broadcast(cents), lit(true))
+      .withColumn("cos_sim",
+        qdot(col("q"), col("cv")).cast("double") / (qnorm(col("q")) * qnorm(col("cv"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_assigned"),
+        round(dsum(round(col("cos_sim"), 6)), 6).as("sum_sim"))
+  }
+
+  val q28Sql: String =
+    s"""WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+       |assign AS (
+       |  SELECT v.vec_id, c.vec_id AS centroid_id,
+       |    cast(list_dot_product(v.qv, c.qv) as double) /
+       |      (sqrt(cast(list_dot_product(v.qv, v.qv) as double)) *
+       |       sqrt(cast(list_dot_product(c.qv, c.qv) as double))) AS cos_sim,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      cast(list_dot_product(v.qv, c.qv) as double) /
+       |        (sqrt(cast(list_dot_product(v.qv, v.qv) as double)) *
+       |         sqrt(cast(list_dot_product(c.qv, c.qv) as double))) DESC, c.vec_id) AS rn
+       |  FROM q v JOIN q c ON c.vec_id < 8)
+       |SELECT centroid_id, count(*) AS n_assigned,
+       |  round(cast(sum(cast(round(cos_sim, 6) as decimal(18,4))) as double), 6) AS sum_sim
+       |FROM assign WHERE rn = 1 GROUP BY centroid_id""".stripMargin
+
+  /** LSH bucketing over embeddings: 8 deterministic hyperplanes drawn
+    * from md5 of (plane, dim) — sign bits form the bucket key. */
+  def q29EmbedLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).withColumn("q", qvec(col("embedding")))
+    // plane p, dim i weight: +1 if bit of h60("p|i") else -1 (deterministic)
+    val withBits = e.withColumn("p", explode(sequence(lit(0), lit(7))))
+      .withColumn("proj",
+        aggregate(
+          zip_with(col("q"),
+            transform(sequence(lit(0), size(col("q")) - 1),
+              i => when(pmod(h60(concat(col("p").cast("string"), lit("|"), i.cast("string"))), lit(2)) === 1, lit(1L)).otherwise(lit(-1L))),
+            (x, w) => x * w),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("bit", when(col("proj") >= 0, lit(1)).otherwise(lit(0)))
+    withBits.groupBy("vec_id")
+      .agg(sum(expr("cast(bit as bigint) << p")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
+  }
+
+  val q29Sql: String =
+    s"""WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, p,
+       |    list_sum(list_transform(generate_series(0, len(qv) - 1),
+       |      i -> qv[i + 1] * (CASE WHEN ${h60Sql("concat(cast(p as varchar), '|', cast(i as varchar))")} % 2 = 1
+       |                        THEN 1 ELSE -1 END))) AS proj
+       |  FROM q, (SELECT unnest(generate_series(0, 7)) AS p)),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    sum(cast((CASE WHEN proj >= 0 THEN 1 ELSE 0 END) as bigint) << p) AS bucket
+       |  FROM proj GROUP BY vec_id)
+       |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+       |FROM buckets GROUP BY bucket""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_embed_norm"  -> q26EmbedNorm _,
+    "q27_cosine_topk" -> q27CosineTopK _,
+    "q28_ivf_assign"  -> q28IvfAssign _,
+    "q29_embed_lsh"   -> q29EmbedLsh _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q26_embed_norm"  -> q26Sql,
+    "q27_cosine_topk" -> q27Sql,
+    "q28_ivf_assign"  -> q28Sql,
+    "q29_embed_lsh"   -> q29Sql,
+  )
+}

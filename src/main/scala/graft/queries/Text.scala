@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Text-analysis queries over `documents` — the training-data-pipeline
+  * text ops (clean, token stats, quality score, language-ID) plus the
+  * reference's caption-cleaning chain (utils/text_utils.py:28-45 →
+  * SURVEY.md §2.8 X1-X6, §2.3 F2/F7).
+  */
+object Text {
+
+  /** X1-X4 cleaning chain: strip <tags>, [brackets], newlines,
+    * lower+trim, charset whitelist; F2 reject flag (digit/latin
+    * detector is moot on this corpus, the whitelist is the op). */
+  def q16TextClean(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("clean",
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(col("text")), "<[^>]*>", ""),
+              "\\[[^\\]]*\\]", ""),
+            "\\n", " "),
+          "[^0-9a-zа-яё\\- ]", "")))
+      .select(col("doc_id"), col("clean"), length(col("clean")).as("clean_len"))
+
+  val q16Sql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |    '<[^>]*>', '', 'g'), '\[[^\]]*\]', '', 'g'), '\n', ' ', 'g'),
+      |    '[^0-9a-zа-яё\- ]', '', 'g')) AS clean,
+      |  length(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |    '<[^>]*>', '', 'g'), '\[[^\]]*\]', '', 'g'), '\n', ' ', 'g'),
+      |    '[^0-9a-zа-яё\- ]', '', 'g'))) AS clean_len
+      |FROM documents""".stripMargin
+
+  /** X6/F7: whitespace tokenization + token stats; min-words filter. */
+  def q17TokenStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("token_chars", length(regexp_replace(col("text"), "\\s", "")))
+      .filter(col("n_tokens") >= 5)
+      .select(col("doc_id"), col("n_tokens"), col("token_chars"),
+        round(col("token_chars").cast("double") / col("n_tokens"), 6).as("avg_token_len"))
+
+  val q17Sql: String =
+    """SELECT doc_id, n_tokens, token_chars,
+      |  round(cast(token_chars as double) / n_tokens, 6) AS avg_token_len
+      |FROM (SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |    length(regexp_replace(text, '\s', '', 'g')) AS token_chars
+      |  FROM documents)
+      |WHERE n_tokens >= 5""".stripMargin
+
+  /** Quality scoring: stopword ratio, hyphen/digit ratio, length band —
+    * the is_bad_subs/is_bad_piece family recast for documents
+    * (utils/text_utils.py:14-25, utils/audio_utils.py:11-33). */
+  def q18QualityScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", size(filter(col("toks"),
+        t => t.isin("the", "a", "and", "of"))))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .withColumn("len_ok", col("n_chars").between(100, 2000))
+      .withColumn("quality",
+        round(when(col("len_ok"), lit(1.0)).otherwise(lit(0.0)) *
+          (lit(1.0) - col("stop_ratio")), 6))
+      .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "quality")
+
+  val q18Sql: String =
+    """SELECT doc_id, n_tokens, n_stop,
+      |  round(cast(n_stop as double) / n_tokens, 6) AS stop_ratio,
+      |  round((CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END) *
+      |        (1.0 - round(cast(n_stop as double) / n_tokens, 6)), 6) AS quality
+      |FROM (SELECT doc_id, n_chars,
+      |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+      |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |        t -> t IN ('the', 'a', 'and', 'of'))) AS n_stop
+      |  FROM documents)""".stripMargin
+
+  /** Language-ID by marker-token profile (n-gram heuristic family):
+    * argmax of per-class marker counts with deterministic tiebreak. */
+  def q19LangId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("c_en", size(filter(col("toks"), t => t.isin("the", "a", "and"))))
+      .withColumn("c_code", size(filter(col("toks"), t => t.isin("spark", "sql", "query", "hash"))))
+      .withColumn("c_data", size(filter(col("toks"), t => t.isin("table", "row", "column", "batch"))))
+      .withColumn("lang_pred",
+        when(col("c_en") >= col("c_code") && col("c_en") >= col("c_data"), "en")
+          .when(col("c_code") >= col("c_data"), "code")
+          .otherwise("data"))
+      .select("doc_id", "c_en", "c_code", "c_data", "lang_pred")
+
+  val q19Sql: String =
+    """SELECT doc_id, c_en, c_code, c_data,
+      |  CASE WHEN c_en >= c_code AND c_en >= c_data THEN 'en'
+      |       WHEN c_code >= c_data THEN 'code'
+      |       ELSE 'data' END AS lang_pred
+      |FROM (SELECT doc_id,
+      |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |        t -> t IN ('the','a','and'))) AS c_en,
+      |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |        t -> t IN ('spark','sql','query','hash'))) AS c_code,
+      |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |        t -> t IN ('table','row','column','batch'))) AS c_data
+      |  FROM documents)""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_text_clean"    -> q16TextClean _,
+    "q17_token_stats"   -> q17TokenStats _,
+    "q18_quality_score" -> q18QualityScore _,
+    "q19_lang_id"       -> q19LangId _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q16_text_clean"    -> q16Sql,
+    "q17_token_stats"   -> q17Sql,
+    "q18_quality_score" -> q18Sql,
+    "q19_lang_id"       -> q19Sql,
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Smoke + invariant tests for the driver-contract queries.
+  * The authoritative value check is the driver's DuckDB oracle
+  * (tools/check_oracle.py replicates it); here we pin row-level
+  * invariants that must hold at any scale factor. */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  // pair-producing queries may legitimately be empty at tiny sf
+  val mayBeEmpty = Set("q21_ngram_jaccard", "q23_minhash_lsh", "q04_anti_join")
+
+  test("every query with an oracle has a queries entry and vice-versa names align") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle keys missing from queries: ${o.diff(q)}")
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs and column names are non-generic") {
+      val df = fn(spark, sf)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows at sf0.001")
+      // driver hash-compare requires stable, aliased column names
+      df.columns.foreach { c =>
+        assert(!c.contains("("), s"$name column '$c' looks unaliased")
+      }
+    }
+  }
+
+  test("q01 sums match a direct computation") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val got = SparkEntry.queries("q01_group_agg")(spark, sf)
+      .agg(sum("n_rows")).head.getLong(0)
+    assert(got === li.count())
+  }
+
+  test("q12 split fractions are 80/10/10 within rounding") {
+    val rows = SparkEntry.queries("q12_seeded_split")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = rows.values.sum
+    assert(rows("train") === math.floor(n * 0.8).toLong)
+    assert(rows("dev") === math.floor(n * 0.9).toLong - math.floor(n * 0.8).toLong)
+  }
+
+  test("q27 ranks are 1..3 per query id") {
+    val df = SparkEntry.queries("q27_cosine_topk")(spark, sf).collect()
+    val byQ = df.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq === Seq(1, 2, 3))
+    }
+  }
+
+  test("q20 keep-flag marks exactly one row per content key") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q20_dedup_exact")(spark, sf)
+    val bad = df.filter(col("keep")).groupBy("content_key")
+      .count().filter(col("count") =!= 1).count()
+    assert(bad === 0)
+  }
+}
