@@ -1,24 +1,103 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): one JSON line on stdout.
+  *
+  * Three sections:
+  *  1. the query suite at local[SPARK_GRAFT_CPUS] over SPARK_GRAFT_SF_DIR;
+  *  2. frontier-drain: full crawl engine, urls/sec + wall (BASELINE.md
+  *     "URLs fetched/sec");
+  *  3. scaling evidence (north rule, sandbox proxy for N→4N executors):
+  *     the fetch+process stage over the same synthetic url set at
+  *     local[8] vs local[32]; efficiency = (thr32/thr8)/4.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** The compute stage: fetch + full per-url pipeline over n urls —
+    * one wide map job, the shape that dominates a real crawl. */
+  private def processStage(spark: SparkSession, n: Int): Long = {
+    import spark.implicits._
+    val seed = graft.synth.Synth.DefaultSeed
+    spark.createDataset(graft.synth.Synth.seedUrls(n))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map { s =>
+        val pay = graft.synth.Synth.fetch(s.url, seed)
+        val r = graft.pipeline.UrlPipeline.process(s.url, pay)
+        (if (r.ok) 1L else 0L) + r.pieces.size
+      }.reduce(_ + _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "40000").toInt
+    val drainSeeds = sys.env.getOrElse("SPARK_GRAFT_DRAIN_SEEDS", "3000").toInt
+
+    // 1. query suite
+    val s1 = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(s1, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+
+    // 2. frontier drain (full engine) at local[cpus]
+    val drainDir = s"/tmp/graft_bench_drain_$cpus"
+    rmrf(drainDir)
+    val eng = new graft.crawl.CrawlEngine(s1, drainDir,
+      graft.crawl.CrawlConfig(batchSize = 4096))
+    val d0 = System.nanoTime()
+    eng.init(drainSeeds)
+    val (batches, processed) = eng.drain()
+    val drainWall = (System.nanoTime() - d0) / 1e9
+    s1.stop()
+
+    // 3. scaling: same job, two parallelism levels
+    def timeStage(cpus: Int): Double = {
+      val s = session(cpus)
+      try {
+        processStage(s, math.min(500, scaleN)) // warm-up JIT/codegen
+        val t0 = System.nanoTime()
+        processStage(s, scaleN)
+        (System.nanoTime() - t0) / 1e9
+      } finally s.stop()
+    }
+    val wall8 = timeStage(8)
+    val wall32 = timeStage(32)
+    val thr8 = scaleN / wall8
+    val thr32 = scaleN / wall32
+    val eff = (thr32 / thr8) / 4.0
+
+    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      f""""frontier_drain":{"seeds":$drainSeeds,"urls_processed":$processed,"batches":$batches,"wall_sec":$drainWall%.3f,"urls_per_sec":${processed / drainWall}%.1f},""" +
+      f""""scaling":{"job":"fetch+process $scaleN urls","wall_local8":$wall8%.3f,"wall_local32":$wall32%.3f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"efficiency_n_to_4n":$eff%.3f}}""")
+  }
+
+  private def rmrf(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }

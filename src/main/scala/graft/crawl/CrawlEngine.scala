@@ -1,0 +1,229 @@
+package graft.crawl
+
+import graft.frontier.{Frontier, SeenShards}
+import graft.model._
+import graft.pipeline.UrlPipeline
+import graft.synth.Synth
+import graft.table.SnapshotTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Executor-side output of processing one claimed url. */
+final case class ProcessedUrl(
+    fp: Long, url: String, host: String, priority: Int, seq: Long,
+    discoveredAt: Long, ok: Boolean, error: String,
+    image_id: String, bytes: Array[Byte], w: Int, h: Int, fmt: String,
+    caption: String, phash: Long,
+    pieces: Seq[PieceRow],
+    speech_duration_sec: Double, good_pieces: Int, total_pieces: Int,
+    outlinks: Seq[String])
+
+final case class CrawlConfig(
+    seed: Long = Synth.DefaultSeed,
+    nHosts: Int = 100,
+    universe: Int = 10000,     // outlink target space (overlaps seeds → dedup work)
+    batchSize: Int = 2048,
+    batchMs: Long = 600000L,   // politeness wall-clock window one batch
+                               // represents: hostCap = batchMs/crawlDelay.
+                               // A batch crawler plans in ~10-minute
+                               // windows; smaller windows make hot-host
+                               // drains degenerate into 2-item batches
+    nShards: Int = 16,
+    shardBuckets: Int = 1 << 14, // 16k buckets × 4 slots ≈ 55k fps/shard
+    targetPerTask: Int = 64,   // skew-salt threshold
+    compactEvery: Int = 4)
+
+/** The iterative micro-batch crawl driver (C2, parse_youtube.py:20-54
+  * recast): claim → fetch/process → commit, until the frontier drains.
+  * Exactly 2 data shuffles per iteration (claim window + salted
+  * repartition); everything else is broadcast or map-side
+  * (SURVEY.md §4.2). All state lives in SnapshotTables — resumable from
+  * any committed snapshot (C6).
+  *
+  * Action budget per batch (driver-loop latency is the sandbox
+  * bottleneck, so it is engineered): claim-count, processing-commit,
+  * process-materialize, terminal-commit, payload-commit, maxSeq (on the
+  * cached frontier), enqueue (gate-count, seen-commit, append-commit)
+  * ≈ 9 Spark actions. The crawl log lives INSIDE the frontier
+  * (processedAt column) and media/pieces/stats share one payload table
+  * — three separate sinks would triple the commit cost for nothing.
+  */
+final class CrawlEngine(spark: SparkSession, workDir: String,
+                        cfg: CrawlConfig = CrawlConfig()) {
+
+  import spark.implicits._
+
+  val frontier = new SnapshotTable(spark, s"$workDir/frontier", "fp")
+  val payload  = new SnapshotTable(spark, s"$workDir/payload", "image_id")
+  val seenTbl  = new SnapshotTable(spark, s"$workDir/seen", "shard")
+  val seen     = new SeenShards(spark, seenTbl, cfg.nShards, cfg.shardBuckets)
+
+  /** media view — exactly BASELINE.json.input_hint's columns. */
+  def media: DataFrame = payload.read()
+    .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+
+  /** pieces view (reference: parts.csv rows). */
+  def piecesView: DataFrame = payload.read()
+    .select(col("image_id"), explode(col("pieces")).as("p"))
+    .select(col("p.image_id").as("image_id"), col("p.piece_idx"),
+      col("p.start_sec"), col("p.end_sec"), col("p.caption"), col("p.good"))
+
+  /** stats view (reference: stats.csv rows). */
+  def statsView: DataFrame = payload.read()
+    .select("image_id", "speech_duration_sec", "good_pieces", "total_pieces")
+
+  /** Seed the frontier (batch 0). Idempotent dedup via the gate. */
+  def init(nSeeds: Int): Unit = {
+    val seeds = spark.createDataset(Synth.seedUrls(nSeeds, cfg.nHosts, cfg.seed))
+    enqueue(Frontier.toEntries(spark, seeds, batchNo = 0L, cfg.seed), batchNo = 0L)
+  }
+
+  /** Recovery (Q9): processing → pending at RecoveryPriority. */
+  def resume(): Long = {
+    if (frontier.currentId.isEmpty) return 0L
+    val stuck = Frontier.recover(frontier.read())
+    val n = stuck.count()
+    if (n > 0) frontier.commitUpsert(stuck, Map("recovered" -> n.toDouble))
+    n
+  }
+
+  /** `existingKeys`: the frontier key set as of batch start — state
+    * upserts never change the key set, so the caller's cached snapshot
+    * is exact and saves a re-resolution per batch. */
+  private def enqueue(entries: DataFrame, batchNo: Long,
+                      existingKeys: Option[DataFrame] = None): Long = {
+    val firstOcc = Frontier.firstOccurrence(entries)
+    val probed = seen.probe(firstOcc)
+    val keys = existingKeys.getOrElse {
+      if (frontier.currentId.isEmpty) spark.emptyDataset[Long].toDF("fp")
+      else frontier.read().select("fp")
+    }
+    val fresh = Frontier.dedupGate(probed, keys).cache()
+    val n = fresh.count()
+    if (n > 0) {
+      seen.insert(fresh.select("fp"), Map("batch" -> batchNo.toDouble))
+      frontier.commitAppend(fresh, Map(
+        "batch" -> batchNo.toDouble, "enqueued" -> n.toDouble))
+    }
+    fresh.unpersist()
+    n
+  }
+
+  /** One micro-batch. Returns number of urls processed (0 = drained). */
+  def runBatch(batchNo: Long): Long = {
+    val f = frontier.read().cache()
+    try {
+      val pending = f.filter(col("state") === FrontierState.Pending)
+      val policies = Frontier.policies(spark, pending, cfg.seed)
+      val claimed = Frontier.claim(pending, policies, cfg.batchSize, cfg.batchMs).cache()
+      val nClaimed = claimed.count()
+      if (nClaimed == 0) return 0L
+
+      // checkpoint: claimed rows become `processing` — crash after this
+      // commit is what resume() recovers from
+      frontier.commitUpsert(
+        claimed.withColumn("state", lit(FrontierState.Processing)),
+        Map("batch" -> batchNo.toDouble, "claimed" -> nClaimed.toDouble))
+
+      // fetch + per-url pipeline, skew-salted (2nd shuffle of the batch)
+      val seed = cfg.seed; val universe = cfg.universe; val nHosts = cfg.nHosts
+      val processed = Frontier.salted(claimed, cfg.targetPerTask)
+        .repartition(col("host"), col("salt"))
+        .select("fp", "url", "host", "priority", "seq", "discoveredAt")
+        .as[(Long, String, String, Int, Long, Long)]
+        .map { case (fp, url, host, priority, seq, disc) =>
+          val payload = Synth.fetch(url, seed)
+          val r = UrlPipeline.process(url, payload)
+          val m = r.media
+          ProcessedUrl(fp, url, host, priority, seq, disc,
+            ok = r.ok, error = r.error,
+            image_id = m.map(_.image_id).orNull,
+            bytes = m.map(_.bytes).getOrElse(Array.emptyByteArray),
+            w = m.map(_.w).getOrElse(0), h = m.map(_.h).getOrElse(0),
+            fmt = m.map(_.fmt).orNull,
+            caption = m.map(_.caption).orNull,
+            phash = m.map(_.phash).getOrElse(0L),
+            pieces = r.pieces,
+            speech_duration_sec = r.stats.map(_.speech_duration_sec).getOrElse(0.0),
+            good_pieces = r.stats.map(_.good_pieces).getOrElse(0),
+            total_pieces = r.stats.map(_.total_pieces).getOrElse(0),
+            outlinks = if (r.ok) Synth.outlinks(url, universe, nHosts, seed) else Seq.empty)
+        }.cache()
+
+      val nOk = processed.filter(_.ok).count()
+
+      // terminal frontier states; processedAt doubles as the crawl log
+      frontier.commitUpsert(
+        processed.map(p => FrontierEntry(p.fp, p.url, p.host, p.priority, p.seq,
+          if (p.ok) FrontierState.Processed else FrontierState.Failed,
+          p.error, p.discoveredAt, processedAt = batchNo)).toDF(),
+        Map("batch" -> batchNo.toDouble, "ok" -> nOk.toDouble,
+          "failed" -> (nClaimed - nOk).toDouble))
+
+      // single payload commit (media + pieces + stats in one table;
+      // bytes column prunes away for queries not touching it)
+      if (nOk > 0) {
+        payload.commitAppend(processed.filter(_.ok)
+          .map(p => (p.image_id, p.bytes, p.w, p.h, p.fmt, p.caption, p.phash,
+            p.pieces, p.speech_duration_sec, p.good_pieces, p.total_pieces))
+          .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+            "pieces", "speech_duration_sec", "good_pieces", "total_pieces"),
+          Map("batch" -> batchNo.toDouble))
+      }
+
+      // discovered links → next frontier rows (seed-expansion S4):
+      // first-occurrence order inside the batch is (parent seq, idx)
+      val maxSeq = f.agg(max("seq")).head.getLong(0)
+      val discovered = processed.flatMap(p =>
+        p.outlinks.zipWithIndex.map { case (u, i) => (u, p.seq, i) })
+        .toDF("url", "parentSeq", "idx")
+      val wSeq = Window.orderBy("parentSeq", "idx")
+      val discoveredSeeds = discovered
+        .withColumn("seq", lit(maxSeq) + row_number().over(wSeq))
+        .withColumn("priority", lit(Frontier.NormalPriority))
+        .select("url", "priority", "seq").as[SeedUrl]
+      enqueue(Frontier.toEntries(spark, discoveredSeeds, batchNo, cfg.seed),
+        batchNo, existingKeys = Some(f.select("fp")))
+
+      processed.unpersist(); claimed.unpersist()
+
+      if (batchNo % cfg.compactEvery == cfg.compactEvery - 1) {
+        frontier.compactIfNeeded(maxDeltaFiles = 4)
+        seenTbl.compactIfNeeded(maxDeltaFiles = 4)
+      }
+      nClaimed
+    } finally f.unpersist()
+  }
+
+  /** Drain the frontier. Returns (batches, urlsProcessed). */
+  def drain(maxBatches: Int = 1000): (Long, Long) = {
+    var batchNo = if (frontier.currentId.isEmpty) 0L else nextBatchNo
+    var total = 0L
+    var n = -1L
+    var batches = 0L
+    while (n != 0L && batches < maxBatches) {
+      n = runBatch(batchNo)
+      if (n > 0) { total += n; batchNo += 1; batches += 1 }
+    }
+    (batches, total)
+  }
+
+  private def nextBatchNo: Long = {
+    val m = frontier.read().agg(max("processedAt")).head
+    if (m.isNullAt(0)) 1L else math.max(1L, m.getLong(0) + 1L)
+  }
+
+  /** Committed crawl order — THE parity artifact: terminal rows ordered
+    * by (processedAt=batchNo, priority, seq). */
+  def committedOrder: DataFrame =
+    frontier.read()
+      .filter(col("state").isin(FrontierState.Processed, FrontierState.Failed)
+        && col("processedAt") >= 0)
+      .select(col("processedAt").as("batchNo"), col("priority"), col("seq"),
+        col("fp"), col("url"), col("state"), col("error"))
+      .orderBy("batchNo", "priority", "seq")
+
+  /** The final URL-seen set (every fp ever enqueued, any state). */
+  def seenSet: DataFrame = frontier.read().select("fp")
+}

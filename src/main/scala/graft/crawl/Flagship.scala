@@ -1,11 +1,90 @@
 package graft.crawl
 
+import graft.export.ExportQuery
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Flagship entry: drain a small synthetic frontier end-to-end and
-  * return the committed crawl order (SURVEY.md §7 step 7).
-  * Placeholder until the crawl driver lands this round. */
+/** Flagship entry + engine-backed queries: drain a synthetic frontier
+  * end-to-end (SURVEY.md §7 step 7) and expose the committed artifacts.
+  * One crawl per (JVM, scale) — queries share the run. */
 object Flagship {
+
+  /** sfDir → seed count; keeps Verify/Bench wall-time bounded while
+    * still spanning several batches (dedup, politeness, discovery all
+    * get real work). */
+  def seedsFor(sfDir: String): Int =
+    if (sfDir.contains("sf0.1")) 3000
+    else if (sfDir.contains("sf0.01")) 1000
+    else 300
+
+  private val engines = scala.collection.concurrent.TrieMap.empty[String, CrawlEngine]
+
+  /** Run (once per JVM per scale) and return the engine. */
+  def engine(spark: SparkSession, sfDir: String): CrawlEngine =
+    engines.getOrElseUpdate(sfDir, {
+      val n = seedsFor(sfDir)
+      val dir = s"/tmp/graft_crawl_$n"
+      // fresh run every JVM: stale state would shadow code changes
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      // universe bounded so the verify-time crawl stays ~2-4k urls
+      val eng = new CrawlEngine(spark, dir, CrawlConfig(batchSize = 1024, universe = 2000))
+      eng.init(n)
+      eng.drain()
+      eng
+    })
+
+  /** Flagship: tiny drain; driver smoke-checks rows > 0. */
   def run(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    engine(spark, "sf0.001-flagship").committedOrder
+
+  // ---- engine-backed queries (rows-only check: non-SQL-expressible) ----
+
+  def crawlOrder(spark: SparkSession, sfDir: String): DataFrame =
+    engine(spark, sfDir).committedOrder
+
+  def crawlMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    engine(spark, sfDir).media
+      .select(col("image_id"), col("w"), col("h"), col("fmt"),
+        col("caption"), col("phash"), length(col("bytes")).as("n_bytes"))
+  }
+
+  def crawlStats(spark: SparkSession, sfDir: String): DataFrame =
+    engine(spark, sfDir).statsView
+
+  def crawlFrontierDepth(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    engine(spark, sfDir).frontier.read()
+      .groupBy("state").agg(count(lit(1)).as("n")) // Q11 queue-depth stats
+  }
+
+  def exportSplit(spark: SparkSession, sfDir: String): DataFrame =
+    ExportQuery.split(engine(spark, sfDir).media)
+
+  /** Perceptual near-duplicate images: band the 64-bit phash into
+    * 4×16-bit keys, equi-join on any band (never all-pairs), then
+    * verify with the codegen'd hamming64 expression (≤ 6 bits apart).
+    * The LSH-for-Hamming-space scale path. */
+  def phashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Hamming64.hamming64
+    val m = engine(spark, sfDir).media.select("image_id", "phash")
+    val banded = m.withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_key",
+        expr("shiftright(phash, cast(band * 16 as int)) & 65535"))
+    val a = banded.select(col("image_id").as("id_a"), col("phash").as("ph_a"),
+      col("band"), col("band_key"))
+    val b = banded.select(col("image_id").as("id_b"), col("phash").as("ph_b"),
+      col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("ph_a"), col("ph_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+  }
 }

@@ -1,0 +1,113 @@
+package graft.frontier
+
+import graft.model._
+import graft.synth.Synth
+import graft.util.Hashing
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Frontier claim / enqueue / recovery as pure Dataset transformations
+  * (SURVEY.md §2.2). The engine composes these with SnapshotTable
+  * commits; the parity oracle implements the same spec single-threaded.
+  */
+object Frontier {
+
+  val NormalPriority = 0
+
+  /** Politeness-budgeted, priority-ordered batch claim (Q3 + C3):
+    *  1. per-host rank by (priority, seq) — the FIFO pop order
+    *     (utils/csv_utils.py:286-299) within each host lane;
+    *  2. cap each host at `batchMs / crawlDelayMs` items (token budget
+    *     — the reference's 0.2 s sleep, parse_youtube.py:53, enforced
+    *     as claim-rate rather than wall-clock sleeping);
+    *  3. global top-`batchSize` by (priority, seq) — planned by Spark
+    *     as TakeOrderedAndProject, no single-partition window.
+    * Deterministic: ties impossible (seq unique). */
+  def claim(pending: DataFrame, policies: DataFrame,
+            batchSize: Int, batchMs: Long): DataFrame = {
+    val wHost = Window.partitionBy("host").orderBy("priority", "seq")
+    pending
+      .join(broadcast(policies.select("host", "crawlDelayMs")), Seq("host"), "left")
+      .withColumn("hostCap",
+        greatest(lit(1L), (lit(batchMs) / coalesce(col("crawlDelayMs"), lit(1000L))).cast("long")))
+      .withColumn("hrn", row_number().over(wHost))
+      .filter(col("hrn") <= col("hostCap"))
+      .drop("hrn", "hostCap", "crawlDelayMs")
+      .orderBy("priority", "seq")
+      .limit(batchSize)
+  }
+
+  /** Hot-host skew salting for the fetch stage (north rule): hosts with
+    * more claimed rows than `targetPerTask` get `ceil(n/target)` salts;
+    * repartitioning on (host, salt) spreads them across tasks. */
+  def salted(claimed: DataFrame, targetPerTask: Int): DataFrame = {
+    val counts = claimed.groupBy("host").agg(count(lit(1)).as("__hn"))
+    claimed
+      .join(broadcast(counts), Seq("host"))
+      .withColumn("salt",
+        when(col("__hn") > targetPerTask,
+          pmod(col("fp"), ceil(col("__hn") / targetPerTask).cast("int")))
+          .otherwise(lit(0)).cast("int"))
+      .drop("__hn")
+  }
+
+  /** First occurrence within an incoming batch by (priority, seq) —
+    * the reference enqueues in pop order, so a dup later in the batch
+    * is skipped (T4 first-occurrence semantics). Must run BEFORE the
+    * probe so fps are unique downstream. */
+  def firstOccurrence(candidates: DataFrame): DataFrame = {
+    val wFirst = Window.partitionBy("fp").orderBy("priority", "seq")
+    candidates.withColumn("__rn", row_number().over(wFirst))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Enqueue-side dedup gate (Q8, utils/queue_utils.py:61-66): drop
+    * candidates already present in the frontier (any state). Expects
+    * unique fps. If a `maybeSeen` column is present (cuckoo tier-1
+    * verdict), rows flagged false are definitely new and skip the
+    * exact anti-join — the 100 TB fast path: only filter-positives
+    * pay the big-join toll. */
+  def dedupGate(candidates: DataFrame, frontierKeys: DataFrame): DataFrame = {
+    if (!candidates.columns.contains("maybeSeen"))
+      return candidates.join(frontierKeys, Seq("fp"), "left_anti")
+    val definitelyNew = candidates.filter(!col("maybeSeen")).drop("maybeSeen")
+    val needCheck = candidates.filter(col("maybeSeen")).drop("maybeSeen")
+      .join(frontierKeys, Seq("fp"), "left_anti")
+    definitelyNew.unionByName(needCheck)
+  }
+
+  /** Crash recovery (Q9, utils/queue_utils.py:6-32): rows stuck in
+    * `processing` return to `pending` at RecoveryPriority so they are
+    * claimed before all normal rows — prepend semantics. */
+  def recover(frontier: DataFrame): DataFrame =
+    frontier.filter(col("state") === FrontierState.Processing)
+      .withColumn("state", lit(FrontierState.Pending))
+      .withColumn("priority", lit(FrontierState.RecoveryPriority))
+
+  /** Candidate URLs → FrontierEntry rows. Robots-disallowed urls enter
+    * directly as `failed` (terminal; counted in the seen set). */
+  def toEntries(spark: SparkSession, urls: Dataset[SeedUrl], batchNo: Long,
+                seed: Long): DataFrame = {
+    import spark.implicits._
+    urls.map { s =>
+      val host = Hashing.host(s.url)
+      val policy = Synth.hostPolicy(host, seed)
+      val disallowed = Synth.isDisallowed(s.url, policy)
+      FrontierEntry(
+        fp = Hashing.fp(s.url), url = s.url, host = host,
+        priority = s.priority, seq = s.seq,
+        state = if (disallowed) FrontierState.Failed else FrontierState.Pending,
+        error = if (disallowed) "robots: disallowed" else null,
+        discoveredAt = batchNo, processedAt = -1L)
+    }.toDF()
+  }
+
+  /** Host-policy table for a frontier (distinct hosts; deterministic
+    * synth policies — the robots/crawl-delay table, FIXTURES.md §4). */
+  def policies(spark: SparkSession, frontier: DataFrame, seed: Long): DataFrame = {
+    import spark.implicits._
+    frontier.select("host").distinct().as[String]
+      .map(h => Synth.hostPolicy(h, seed)).toDF()
+  }
+}

@@ -1,0 +1,140 @@
+package graft.image
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+/** Image payload codec — encode/decode/phash/PSNR over in-table binary
+  * columns (BASELINE.json.input_hint; reference analog: wav PCM blobs,
+  * utils/audio_utils.py:132-152). JDK-builtin ImageIO only (zero deps).
+  *
+  * Determinism notes: the synthetic pixel field is smooth (sum of
+  * low-frequency cosines seeded from the url hash, luma-dominant) so
+  * JPEG at q=0.98 clears the PSNR>=40 dB per-row invariant; PNG is
+  * lossless/exact.
+  */
+object ImageCodec {
+
+  /** Deterministic smooth RGB field for (w,h,seed): low-frequency
+    * cosines with seed-derived phases/frequencies. Pure function. */
+  def synthPixels(w: Int, h: Int, seed: Long): Array[Int] = {
+    // derive 6 stable params from the seed via an LCG walk
+    var s = seed
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) // [0,1)
+    }
+    val fx1 = 1.0 + next() * 2.0; val fy1 = 1.0 + next() * 2.0
+    val ph1 = next() * math.Pi * 2; val ph2 = next() * math.Pi * 2
+    val ph3 = next() * math.Pi * 2; val mix = next()
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val u = x.toDouble / w; val v = y.toDouble / h
+        // luma-dominant field with gentle chroma so JPEG 4:2:0
+        // subsampling stays within the PSNR>=40 budget
+        val base = 0.5 + 0.35 * math.cos(2 * math.Pi * (fx1 * u) + ph1) +
+          0.15 * math.cos(2 * math.Pi * (fy1 * v) + ph2)
+        val chroma = 0.08 * math.cos(2 * math.Pi * (fx1 * u + fy1 * v) * mix + ph3)
+        val r = math.min(1.0, math.max(0.0, base + chroma))
+        val g = math.min(1.0, math.max(0.0, base))
+        val b = math.min(1.0, math.max(0.0, base - chroma))
+        val ri = (r * 255).toInt; val gi = (g * 255).toInt; val bi = (b * 255).toInt
+        out(y * w + x) = (ri << 16) | (gi << 8) | bi
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def toImage(w: Int, h: Int, rgb: Array[Int]): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, rgb, 0, w)
+    img
+  }
+
+  /** Encode via ImageIO; jpg pinned to quality 0.95 (one encoder path —
+    * SURVEY.md §7 hard-part (f)). */
+  def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    fmt match {
+      case "jpg" =>
+        val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(0.98f)
+        val ios = ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new IIOImage(img, null, null), param)
+        ios.close(); writer.dispose()
+      case _ =>
+        ImageIO.write(img, "png", bos)
+    }
+    bos.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(bytes))
+
+  def pixels(img: BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
+  /** 64-bit aHash: 8x8 box-downsample of luma, bit = above mean.
+    * Bit order fixed (row-major, bit 63 = top-left). */
+  def phash64(w: Int, h: Int, rgb: Array[Int]): Long = {
+    val gray = new Array[Double](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val x0 = gx * w / 8; val x1 = math.max(x0 + 1, (gx + 1) * w / 8)
+        val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+        var sum = 0.0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = rgb(y * w + x)
+            sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        gray(gy * 8 + gx) = sum / n
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = gray.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (gray(i) > mean) bits |= (1L << (63 - i))
+      i += 1
+    }
+    bits
+  }
+
+  /** PSNR in dB between two same-size RGB buffers (per-channel MSE). */
+  def psnr(a: Array[Int], b: Array[Int]): Double = {
+    require(a.length == b.length, "size mismatch")
+    var se = 0.0
+    var i = 0
+    while (i < a.length) {
+      val pa = a(i); val pb = b(i)
+      val dr = ((pa >> 16) & 0xff) - ((pb >> 16) & 0xff)
+      val dg = ((pa >> 8) & 0xff) - ((pb >> 8) & 0xff)
+      val db = (pa & 0xff) - (pb & 0xff)
+      se += dr * dr + dg * dg + db * db
+      i += 1
+    }
+    val mse = se / (a.length * 3.0)
+    if (mse == 0) Double.PositiveInfinity
+    else 10.0 * math.log10(255.0 * 255.0 / mse)
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,102 @@
+package graft.model
+
+/** Typed data model — SURVEY.md §1.2. One case class per entity; Spark
+  * `Encoder`s come from `spark.implicits`. The reference's row-of-strings
+  * CSVs (utils/csv_utils.py:20-23) become these typed Datasets.
+  */
+
+/** Seed-list row (reference: one video id per line in the seed txt;
+  * `seq` = line number = the FIFO parity key, utils/csv_utils.py:286-299). */
+final case class SeedUrl(url: String, priority: Int, seq: Long)
+
+/** One frontier row — the 4 CSV queues (const.py:8-11) collapsed into a
+  * single `state` column. `fp` = xxhash64(canonical url), the join key
+  * everywhere. `discoveredAt` = batch number (lineage). */
+final case class FrontierEntry(
+    fp: Long,
+    url: String,
+    host: String,
+    priority: Int,
+    seq: Long,
+    state: String,       // pending | processing | processed | failed
+    error: String,        // null unless failed
+    discoveredAt: Long,    // batch that enqueued the row
+    processedAt: Long)     // batch that reached a terminal state; -1 before.
+                           // Doubles as the crawl log: committed order =
+                           // (processedAt, priority, seq) over terminal rows
+
+object FrontierState {
+  val Pending    = "pending"
+  val Processing = "processing"
+  val Processed  = "processed"
+  val Failed     = "failed"
+  /** Recovery priority — strictly less than any normal priority so
+    * recovered rows are claimed first (prepend semantics,
+    * utils/queue_utils.py:30-32). */
+  val RecoveryPriority: Int = -1
+}
+
+/** Per-host politeness policy (reference analog: the flat 0.2 s sleep,
+  * parse_youtube.py:53, generalized to robots crawl-delay budgets). */
+final case class HostPolicy(
+    host: String,
+    crawlDelayMs: Long,
+    disallowPrefixes: Seq[String])
+
+/** A word with in-media timestamps (vad_first_parser.py:114-117). */
+final case class TimedWord(startMs: Long, endMs: Long, word: String)
+
+/** 10 ms speech/silence frame — segmentation input (§2.10). */
+final case class Frame(idx: Int, isSpeech: Boolean)
+
+/** Segment emitted by the VAD-style state machine. */
+final case class Segment(startSec: Double, endSec: Double)
+
+/** Synthetic fetch outcome (FIXTURES.md §5). `ok=false` → failed with
+  * `error`; words drive the segmentation/alignment pipeline. */
+final case class FetchPayload(
+    ok: Boolean,
+    error: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    frames: Seq[Frame],
+    words: Seq[TimedWord])
+
+/** Output payload row — exactly BASELINE.json.input_hint's shape. */
+final case class MediaRow(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long)
+
+/** Per-piece detail row (reference: parts.csv, vad_first_parser.py:180-182). */
+final case class PieceRow(
+    image_id: String,
+    piece_idx: Int,
+    start_sec: Double,
+    end_sec: Double,
+    caption: String,
+    good: Boolean)
+
+/** Per-url stats (reference: stats.csv, vad_first_parser.py:185-186). */
+final case class UrlStats(
+    image_id: String,
+    speech_duration_sec: Double,
+    good_pieces: Int,
+    total_pieces: Int)
+
+/** Committed crawl-order record — the parity artifact
+  * (BASELINE.md: committed (batchNo, priority, seq) order vs oracle). */
+final case class CrawlRecord(
+    batchNo: Long,
+    priority: Int,
+    seq: Long,
+    fp: Long,
+    url: String,
+    state: String,
+    error: String)

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import graft.image.ImageCodec
+import graft.model._
+import graft.synth.Synth
+
+/** The per-item pipeline (vad_first_parser.process_video, §3.2):
+  * fetch payload → segment frames → align words→segments (40 % overlap
+  * theta join, vad_first_parser.py:105-126) → caption build + clean →
+  * quality filters → MediaRow / PieceRow / UrlStats.
+  *
+  * Pure function of (url, payload) — shared verbatim by the distributed
+  * engine (inside mapPartitions) and the single-threaded parity oracle,
+  * so per-row outputs are byte-identical by construction and the parity
+  * suite checks ORDERING and SET membership, not luck.
+  */
+object UrlPipeline {
+
+  val WordInclPerc = 0.4 // vad_first_parser.py:109
+
+  final case class Result(
+      ok: Boolean,
+      error: String,
+      media: Option[MediaRow],
+      pieces: Seq[PieceRow],
+      stats: Option[UrlStats])
+
+  def process(url: String, payload: FetchPayload): Result = {
+    if (!payload.ok)
+      return Result(ok = false, error = payload.error, None, Seq.empty, None)
+
+    val id = Synth.imageId(url)
+    val segments = Segmenter.segment(payload.frames.toIndexedSeq)
+
+    var speechLen = 0.0
+    var good = 0
+    val pieceRows = segments.zipWithIndex.flatMap { case (seg, i) =>
+      // interval join: word included iff >= 40% of its duration overlaps
+      // on both sides (F4, vad_first_parser.py:114-120)
+      val words = payload.words.filter { w =>
+        val ws = w.startMs / 1000.0; val we = w.endMs / 1000.0
+        val dur = we - ws
+        (we - seg.startSec > dur * WordInclPerc) &&
+          (seg.endSec - ws > dur * WordInclPerc)
+      }
+      if (words.isEmpty) None // :123-124 continue
+      else {
+        val sorted = words.sortBy(_.startMs) // :126 stable sort by start
+        val joined = sorted.map(_.word).mkString(" ")
+        val cleaned = TextClean.clean(joined)
+        if (TextClean.isBadSubs(cleaned)) None // :139 continue
+        else {
+          val dur = seg.endSec - seg.startSec
+          val bad = TextClean.isBadPiece(dur, cleaned) // :150
+          if (!bad) { speechLen += dur; good += 1 }
+          Some(PieceRow(id, i, seg.startSec, seg.endSec, cleaned, good = !bad))
+        }
+      }
+    }
+
+    val decodedPixels = ImageCodec.pixels(ImageCodec.decode(payload.bytes))
+    val phash = ImageCodec.phash64(payload.w, payload.h, decodedPixels)
+    val caption = pieceRows.filter(_.good).map(_.caption).mkString(" ")
+    val media = MediaRow(id, payload.bytes, payload.w, payload.h,
+      payload.fmt, caption, phash)
+    val stats = UrlStats(id, speechLen, good, segments.length)
+    Result(ok = true, error = null, Some(media), pieceRows, Some(stats))
+  }
+}

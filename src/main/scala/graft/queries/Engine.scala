@@ -4,7 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Engine-internal queries (crawl drain, export split over crawl
   * output) — not SQL-expressible over the driver tables, so they get
-  * the rows-only check. Populated as the crawl engine lands. */
+  * the rows-only check. All deterministic: the crawl is a pure
+  * function of (seed count, config). */
 object Engine {
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map()
+  import graft.crawl.Flagship
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_crawl_order"     -> (Flagship.crawlOrder _),
+    "q31_crawl_media"     -> (Flagship.crawlMedia _),
+    "q32_crawl_stats"     -> (Flagship.crawlStats _),
+    "q33_frontier_depth"  -> (Flagship.crawlFrontierDepth _),
+    "q34_export_split"    -> (Flagship.exportSplit _),
+    "q35_phash_neardup"   -> (Flagship.phashNearDup _),
+  )
 }

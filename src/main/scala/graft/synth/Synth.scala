@@ -1,0 +1,153 @@
+package graft.synth
+
+import graft.image.ImageCodec
+import graft.model._
+import graft.util.Hashing
+
+/** Deterministic synthetic inputs (FIXTURES.md) — zero network, zero
+  * wall-clock, zero unseeded RNG. Every value derives from xx64(key)
+  * so any partitioning / rerun produces identical bytes. Shared by the
+  * engine, the parity oracle, tests, and the bench.
+  *
+  * Reference analogs: seed txt files (one id/line); the fetch stage
+  * (utils/youtube_downloader.py:15-113) with ~missing-subs failures and
+  * a too-large cap; per-host politeness (parse_youtube.py:53).
+  */
+object Synth {
+
+  val DefaultSeed = 42L
+
+  /** Unit double in [0,1) from a string key (stable across JVMs). */
+  def unit(key: String): Double =
+    ((Hashing.xx64(key) >>> 11).toDouble) / (1L << 53).toDouble
+
+  /** Non-negative long from a key. */
+  def nn(key: String): Long = Hashing.xx64(key) & Long.MaxValue
+
+  // ---- seed list -----------------------------------------------------
+
+  /** Zipfian host index in [0, nHosts): hostRank ~ u^(1/(1-s)) shape.
+    * s≈1.2 gives realistic hot-host skew (FIXTURES.md §2). */
+  def zipfHost(u: Double, nHosts: Int, s: Double = 1.2): Int = {
+    // inverse-CDF approximation for zipf over ranks 1..nHosts
+    val x = math.pow(u, 1.0 / (1.0 - s)) // in [1, inf)
+    val r = x.toInt
+    math.min(nHosts - 1, math.max(0, r - 1))
+  }
+
+  /** The seed list: n urls over ~nHosts hosts, zipf-skewed; seq = line
+    * number (FIFO parity key); priority 0. */
+  def seedUrls(n: Int, nHosts: Int = 100, seed: Long = DefaultSeed): Seq[SeedUrl] =
+    (0L until n.toLong).map { i =>
+      val h = zipfHost(unit(s"seed:$seed:host:$i"), nHosts)
+      val id = java.lang.Long.toString(nn(s"seed:$seed:id:$i"), 36)
+      SeedUrl(s"http://host$h.example.com/v/$id", 0, i)
+    }
+
+  // ---- host policies (robots + crawl delay) --------------------------
+
+  /** Per-host policy: crawl delay in {100,200,500,1000,5000} ms by hash;
+    * ~5% of hosts disallow /v/ entirely (robots gate). */
+  def hostPolicy(host: String, seed: Long = DefaultSeed): HostPolicy = {
+    val delays = Array(100L, 200L, 500L, 1000L, 5000L)
+    val d = delays((nn(s"policy:$seed:delay:$host") % delays.length).toInt)
+    val dis = if (unit(s"policy:$seed:robots:$host") < 0.05) Seq("/v/") else Seq.empty
+    HostPolicy(host, d, dis)
+  }
+
+  def isDisallowed(url: String, policy: HostPolicy): Boolean = {
+    val c = Hashing.canonicalize(url)
+    val i = c.indexOf("://")
+    val path = if (i < 0) c else {
+      val rest = c.substring(i + 3)
+      val j = rest.indexOf('/')
+      if (j < 0) "/" else rest.substring(j)
+    }
+    policy.disallowPrefixes.exists(path.startsWith)
+  }
+
+  // ---- fetch oracle ---------------------------------------------------
+
+  val UnavailableRate = 0.10 // reference: missing subs raise → failed
+  val TooLargeRate    = 0.02 // reference: 500 MB cap → failed
+
+  private val vocab: Array[String] =
+    ("съешь ещё этих мягких французских булок да выпей же чаю " +
+      "speech data model корпус разметка слова кадр поток").split(" ")
+
+  /** Deterministic timed words for a url: 20–80 words, ~300–600 ms each
+    * with small gaps; a silence gap every ~12 words (drives segmentation). */
+  def words(urlFp: Long, seed: Long): Seq[TimedWord] = {
+    val n = 20 + (nn(s"w:$seed:$urlFp:n") % 61).toInt
+    var t = 0L
+    (0 until n).map { i =>
+      val dur = 300 + (nn(s"w:$seed:$urlFp:d:$i") % 301)
+      val gap =
+        if (i > 0 && i % 12 == 0) 800 + (nn(s"w:$seed:$urlFp:g:$i") % 400)
+        else 50 + (nn(s"w:$seed:$urlFp:s:$i") % 50)
+      val start = t + gap
+      val end = start + dur
+      t = end
+      val w = vocab((nn(s"w:$seed:$urlFp:v:$i") % vocab.length).toInt)
+      TimedWord(start, end, w)
+    }
+  }
+
+  /** 10 ms speech/silence frames covering the word track (speech where
+    * any word overlaps the frame) — segmentation input (§2.10). */
+  def frames(ws: Seq[TimedWord]): Seq[Frame] = {
+    if (ws.isEmpty) return Seq.empty
+    val endMs = ws.last.endMs + 500
+    val n = (endMs / 10).toInt + 1
+    val speech = new Array[Boolean](n)
+    ws.foreach { w =>
+      var f = (w.startMs / 10).toInt
+      val fEnd = (w.endMs / 10).toInt
+      while (f <= fEnd && f < n) { speech(f) = true; f += 1 }
+    }
+    (0 until n).map(i => Frame(i, speech(i)))
+  }
+
+  /** The synthetic fetch: pure function url → payload | unavailable |
+    * too-large. Images are smooth cosine fields (PSNR-friendly, see
+    * ImageCodec.synthPixels); fmt ~50/50 png|jpg by hash. */
+  def fetch(url: String, seed: Long = DefaultSeed): FetchPayload = {
+    val f = Hashing.fp(url)
+    if (unit(s"avail:$seed:$f") < UnavailableRate)
+      FetchPayload(ok = false, error = "unavailable: no captions", Array.emptyByteArray, 0, 0, null, Seq.empty, Seq.empty)
+    else if (unit(s"size:$seed:$f") < TooLargeRate)
+      FetchPayload(ok = false, error = "too large: exceeds cap", Array.emptyByteArray, 0, 0, null, Seq.empty, Seq.empty)
+    else {
+      val dims = Array(32, 64, 128)
+      val w = dims((nn(s"w:$seed:$f") % 3).toInt)
+      val h = dims((nn(s"h:$seed:$f") % 3).toInt)
+      val fmt = if (unit(s"fmt:$seed:$f") < 0.5) "png" else "jpg"
+      val px = ImageCodec.synthPixels(w, h, Hashing.xx64(s"px:$seed:$f"))
+      val bytes = ImageCodec.encode(ImageCodec.toImage(w, h, px), fmt)
+      val ws = words(f, seed)
+      FetchPayload(ok = true, error = null, bytes = bytes, w = w, h = h,
+        fmt = fmt, frames = frames(ws), words = ws)
+    }
+  }
+
+  /** Deterministic outlink expansion: each fetched url discovers 0–3
+    * urls from a bounded universe (so the dedup gate has real work).
+    * Reference analog: playlist/search seed expansion (S4). */
+  def outlinks(url: String, universe: Int, nHosts: Int = 100,
+               seed: Long = DefaultSeed): Seq[String] = {
+    val f = Hashing.fp(url)
+    val n = (nn(s"out:$seed:$f:n") % 4).toInt
+    (0 until n).map { i =>
+      val target = nn(s"out:$seed:$f:t:$i") % universe
+      val h = zipfHost(unit(s"seed:$seed:host:$target"), nHosts)
+      val id = java.lang.Long.toString(nn(s"seed:$seed:id:$target"), 36)
+      s"http://host$h.example.com/v/$id"
+    }
+  }
+
+  /** Image id for a url — "v" + base36(fp) (FIXTURES.md §1). */
+  def imageId(url: String): String = {
+    val f = Hashing.fp(url)
+    "v" + java.lang.Long.toString(f & Long.MaxValue, 36)
+  }
+}

@@ -1,0 +1,271 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-shaped snapshot table: Parquet data files + JSON manifests +
+  * an atomically-renamed CURRENT pointer (SURVEY.md §4.2 — environment
+  * has no Iceberg jar; interface kept narrow so a real catalog can
+  * replace it).
+  *
+  * Storage model (designed for the 10^10-row frontier):
+  *  - `base` files: immutable bulk data;
+  *  - `delta` files: key-wise upserts, merge-on-read — a batch commit
+  *    rewrites O(batch) rows, never the table (Iceberg-v2-style);
+  *  - `compact()` folds deltas into a new base every few commits, so
+  *    read amplification is bounded;
+  *  - every commit records per-file lineage (rows/bytes/min/max key)
+  *    plus a metrics map (north rule: per-partition lineage manifests).
+  *
+  * Commit protocol (single-writer = the driver, same linearization the
+  * reference got from its writer thread, utils/csv_utils.py:105-173):
+  * write data files → write manifest json → atomic-rename CURRENT.
+  * Crash between steps leaves the previous snapshot current (the
+  * recovery suite exploits this).
+  *
+  * Replaces: whole-file CSV sync (utils/csv_utils.py:83-101).
+  */
+final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String) {
+
+  import SnapshotTable._
+
+  private val root: Path = Paths.get(dir)
+  private val dataDir = root.resolve("data")
+  private val snapDir = root.resolve("snapshots")
+  Files.createDirectories(dataDir)
+  Files.createDirectories(snapDir)
+
+  def currentId: Option[Long] = {
+    val cur = root.resolve("CURRENT")
+    if (Files.exists(cur)) Some(Files.readString(cur).trim.toLong) else None
+  }
+
+  def manifest(id: Long): Manifest =
+    Manifest.parse(Files.readString(snapDir.resolve(f"snap-$id%06d.json")))
+
+  def currentManifest: Option[Manifest] = currentId.map(manifest)
+
+  /** Resolved view: base ∖ deltaKeys ∪ latest-per-key delta rows. */
+  def read(): DataFrame = currentManifest match {
+    case None => spark.emptyDataFrame
+    case Some(m) => readResolved(m)
+  }
+
+  def readAt(id: Long): DataFrame = readResolved(manifest(id))
+
+  def isEmpty: Boolean = currentManifest.forall(_.files.isEmpty)
+
+  private def readResolved(m: Manifest): DataFrame = {
+    val schema = StructType.fromDDL(m.schemaDdl)
+    if (m.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val (bases, deltas) = m.files.partition(_.kind == "base")
+    val baseDf =
+      if (bases.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(bases.map(f => root.resolve(f.path).toString): _*)
+    if (deltas.isEmpty) return baseDf
+    val cols = schema.fieldNames.map(col).toSeq
+    val deltaDf = deltas.groupBy(_.deltaSeq).toSeq.sortBy(_._1).map { case (seq, fs) =>
+      spark.read.schema(schema).parquet(fs.map(f => root.resolve(f.path).toString): _*)
+        .withColumn("__delta_seq", lit(seq))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("__delta_seq").desc)
+    val latest = deltaDf.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).select(cols: _*)
+    baseDf.join(latest.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+      .select(cols: _*)
+      .unionByName(latest)
+  }
+
+  /** Append new rows (new keys) as base files. */
+  def commitAppend(df: DataFrame, metrics: Map[String, Double] = Map.empty): Long =
+    commit(df, kind = "base", metrics)
+
+  /** Upsert rows by key as a merge-on-read delta. */
+  def commitUpsert(df: DataFrame, metrics: Map[String, Double] = Map.empty): Long =
+    commit(df, kind = "delta", metrics)
+
+  /** Fold base+deltas into a fresh base when read amplification grows. */
+  def compactIfNeeded(maxDeltaFiles: Int = 8,
+                      metrics: Map[String, Double] = Map.empty): Option[Long] =
+    currentManifest match {
+      case Some(m) if m.files.count(_.kind == "delta") > maxDeltaFiles =>
+        val resolved = readResolved(m)
+        val nextId = m.id + 1
+        val files = writeData(resolved, nextId, "base", 0L)
+        val man = Manifest(nextId, Some(m.id), m.schemaDdl, files,
+          metrics + ("compacted" -> 1.0), m.props)
+        publish(man)
+        Some(nextId)
+      case _ => None
+    }
+
+  private def commit(df: DataFrame, kind: String, metrics: Map[String, Double]): Long = {
+    val parent = currentManifest
+    val nextId = parent.map(_.id + 1).getOrElse(0L)
+    val schemaDdl = parent.map(_.schemaDdl).getOrElse(df.schema.toDDL)
+    val deltaSeq = if (kind == "delta") nextId else 0L
+    val newFiles = writeData(df, nextId, kind, deltaSeq)
+    val files = parent.map(_.files).getOrElse(Seq.empty) ++ newFiles
+    val man = Manifest(nextId, parent.map(_.id), schemaDdl, files, metrics,
+      parent.map(_.props).getOrElse(Map.empty))
+    publish(man)
+    nextId
+  }
+
+  /** Set/overwrite a durable table property (carried across commits
+    * via a props-only commit). */
+  def setProp(key: String, value: String): Unit = {
+    val m = currentManifest.getOrElse(
+      throw new IllegalStateException("setProp before first commit"))
+    publish(m.copy(id = m.id + 1, parent = Some(m.id),
+      props = m.props + (key -> value)))
+  }
+
+  def getProp(key: String): Option[String] = currentManifest.flatMap(_.props.get(key))
+
+  /** Restore CURRENT to an older snapshot (rollback). */
+  def restore(id: Long): Unit = {
+    require(Files.exists(snapDir.resolve(f"snap-$id%06d.json")), s"no snapshot $id")
+    writeCurrent(id)
+  }
+
+  /** Drop snapshots older than the newest `keepLast`, deleting data
+    * files no retained snapshot references. */
+  def expire(keepLast: Int): Unit = {
+    val ids = Files.list(snapDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("snap-"))
+      .map(s => s.stripPrefix("snap-").stripSuffix(".json").toLong).toSeq.sorted
+    val (drop, keep) = ids.splitAt(math.max(0, ids.length - keepLast))
+    if (drop.isEmpty) return
+    val referenced = keep.flatMap(id => manifest(id).files.map(_.path)).toSet
+    drop.foreach { id =>
+      manifest(id).files.map(_.path).filterNot(referenced).foreach { p =>
+        Files.deleteIfExists(root.resolve(p))
+      }
+      Files.deleteIfExists(snapDir.resolve(f"snap-$id%06d.json"))
+    }
+  }
+
+  // ---- internals -------------------------------------------------------
+
+  private def writeData(df: DataFrame, snapId: Long, kind: String,
+                        deltaSeq: Long): Seq[FileEntry] = {
+    val tmp = Files.createTempDirectory(root, s".stage-$snapId-")
+    try {
+      df.write.mode("overwrite").parquet(tmp.toString)
+      val parts = Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        .sortBy(_.getFileName.toString)
+      parts.zipWithIndex.map { case (p, i) =>
+        val name = f"snap-$snapId%06d-$kind-part-$i%05d.parquet"
+        val dest = dataDir.resolve(name)
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+        val (rows, minK, maxK) = footerStats(dest)
+        FileEntry(s"data/$name", kind, deltaSeq, rows, Files.size(dest), minK, maxK)
+      }
+    } finally {
+      // clean any leftovers (_SUCCESS, crc files, the dir itself)
+      Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  /** Per-file lineage from the parquet footer — rowCount always, plus
+    * min/max of the key column when its statistics are present. Costs
+    * a metadata read, zero Spark jobs (the Iceberg approach). */
+  private def footerStats(file: Path): (Long, String, String) = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file.toString), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val colStats = blocks.flatMap(_.getColumns.asScala
+        .filter(_.getPath.toDotString == keyCol).map(_.getStatistics))
+        .filter(s => s != null && !s.isEmpty)
+      if (colStats.isEmpty) (rows, "", "")
+      else {
+        val mins = colStats.map(_.genericGetMin.asInstanceOf[AnyRef])
+        val maxs = colStats.map(_.genericGetMax.asInstanceOf[AnyRef])
+        def fmt(vs: Seq[AnyRef], max: Boolean): String = vs.headOption match {
+          case Some(_: java.lang.Long) | Some(_: java.lang.Integer) =>
+            val ls = vs.map(_.toString.toLong)
+            (if (max) ls.max else ls.min).toString
+          case Some(_: org.apache.parquet.io.api.Binary) =>
+            val ss = vs.map(_.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+            if (max) ss.max else ss.min
+          case _ => ""
+        }
+        (rows, fmt(mins.toSeq, max = false), fmt(maxs.toSeq, max = true))
+      }
+    } finally reader.close()
+  }
+
+  private def publish(m: Manifest): Unit = {
+    val tmp = snapDir.resolve(f".snap-${m.id}%06d.json.tmp")
+    Files.writeString(tmp, m.toJson)
+    Files.move(tmp, snapDir.resolve(f"snap-${m.id}%06d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    writeCurrent(m.id)
+  }
+
+  private def writeCurrent(id: Long): Unit = {
+    val tmp = root.resolve(".CURRENT.tmp")
+    Files.writeString(tmp, id.toString)
+    Files.move(tmp, root.resolve("CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+object SnapshotTable {
+
+  final case class FileEntry(path: String, kind: String, deltaSeq: Long,
+                             rows: Long, bytes: Long, minKey: String, maxKey: String)
+
+  final case class Manifest(id: Long, parent: Option[Long], schemaDdl: String,
+                            files: Seq[FileEntry], metrics: Map[String, Double],
+                            props: Map[String, String]) {
+    def toJson: String = {
+      def esc(s: String) = s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
+      val fs = files.map(f =>
+        s"""{"path":"${esc(f.path)}","kind":"${f.kind}","deltaSeq":${f.deltaSeq},""" +
+        s""""rows":${f.rows},"bytes":${f.bytes},"minKey":"${esc(f.minKey)}","maxKey":"${esc(f.maxKey)}"}""")
+        .mkString("[", ",", "]")
+      val ms = metrics.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+      val ps = props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+      s"""{"id":${id},"parent":${parent.map(_.toString).getOrElse("null")},""" +
+      s""""schemaDdl":"${esc(schemaDdl)}","files":$fs,"metrics":$ms,"props":$ps}"""
+    }
+  }
+
+  object Manifest {
+    /** Minimal JSON parser for our own manifest format (no external
+      * JSON dep in main scope; format is machine-written above). */
+    def parse(json: String): Manifest = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(json)
+      val files = node.get("files").elements().asScala.map { f =>
+        FileEntry(f.get("path").asText(), f.get("kind").asText(),
+          f.get("deltaSeq").asLong(), f.get("rows").asLong(),
+          f.get("bytes").asLong(), f.get("minKey").asText(), f.get("maxKey").asText())
+      }.toSeq
+      val metrics = node.get("metrics").properties().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      val props = node.get("props").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+      Manifest(node.get("id").asLong(),
+        if (node.get("parent").isNull) None else Some(node.get("parent").asLong()),
+        node.get("schemaDdl").asText(), files, metrics, props)
+    }
+  }
+}

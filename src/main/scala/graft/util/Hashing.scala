@@ -1,0 +1,82 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.sql.catalyst.expressions.XXH64
+
+/** URL canonicalization + 64-bit fingerprints (SURVEY.md §2.8 X12).
+  *
+  * Two implementations kept bit-identical by `HashingSpec`:
+  *  - JVM-side (`fp`) for the single-threaded parity oracle;
+  *  - column-side (`fpCol`) using Spark's native `xxhash64` so the
+  *    hot path stays inside whole-stage codegen.
+  * Spark's `xxhash64(col)` = XXH64 over the UTF-8 bytes with seed 42,
+  * which `fp` reproduces via the same catalyst XXH64 kernel.
+  */
+object Hashing {
+
+  val XxSeed = 42L
+
+  /** Deterministic canonical form: trim, lowercase scheme+host, strip
+    * fragment, strip default :80, empty path → "/". Pure string ops so
+    * the column twin is exactly expressible with builtins. */
+  def canonicalize(raw: String): String = {
+    val t = raw.trim
+    val noFrag = { val i = t.indexOf('#'); if (i >= 0) t.substring(0, i) else t }
+    // lowercase scheme://host part only; path is case-sensitive
+    val schemeEnd = noFrag.indexOf("://")
+    val s =
+      if (schemeEnd < 0) noFrag
+      else {
+        val hostEnd0 = noFrag.indexOf('/', schemeEnd + 3)
+        val hostEnd = if (hostEnd0 < 0) noFrag.length else hostEnd0
+        noFrag.substring(0, hostEnd).toLowerCase + noFrag.substring(hostEnd)
+      }
+    val noPort = s.replaceFirst(":80/", "/")
+    if (noPort.contains("://") && noPort.indexOf('/', noPort.indexOf("://") + 3) < 0)
+      noPort + "/"
+    else noPort
+  }
+
+  /** JVM xxhash64 of a UTF-8 string, seed 42 — bit-identical to the
+    * `xxhash64` Spark SQL function on a StringType column. */
+  def xx64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, XxSeed)
+  }
+
+  /** URL fingerprint (JVM). */
+  def fp(url: String): Long = xx64(canonicalize(url))
+
+  /** Host of a canonical URL (JVM). */
+  def host(url: String): String = {
+    val c = canonicalize(url)
+    val i = c.indexOf("://")
+    if (i < 0) return ""
+    val rest = c.substring(i + 3)
+    val j = rest.indexOf('/')
+    if (j < 0) rest else rest.substring(0, j)
+  }
+
+  /** Column twin of `canonicalize` — builtins only (codegen'd). */
+  def canonicalizeCol(c: Column): Column = {
+    val t = trim(c)
+    val noFrag = regexp_replace(t, "#.*$", "")
+    // lower(scheme://host) + unchanged path: split at first '/' after '://'
+    val prefix = regexp_extract(noFrag, "^([^:]+://[^/]*)", 1)
+    val path = regexp_replace(noFrag, "^[^:]+://[^/]*", "")
+    val recombined = concat(lower(prefix), path)
+    val base = when(prefix === "", noFrag).otherwise(recombined)
+    val noPort = regexp_replace(base, ":80/", "/")
+    when(noPort.rlike("://") && !noPort.rlike("://[^/]*/"), concat(noPort, lit("/")))
+      .otherwise(noPort)
+  }
+
+  /** Column twin of `fp`. */
+  def fpCol(c: Column): Column = xxhash64(canonicalizeCol(c))
+
+  /** Column twin of `host`. */
+  def hostCol(c: Column): Column =
+    regexp_extract(canonicalizeCol(c), "^[^:]+://([^/]*)", 1)
+}

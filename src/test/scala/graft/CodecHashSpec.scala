@@ -1,0 +1,72 @@
+package graft
+
+import graft.image.ImageCodec
+import graft.synth.Synth
+import graft.util.Hashing
+import org.scalatest.funsuite.AnyFunSuite
+
+class CodecHashSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("jpg roundtrip clears PSNR >= 40 dB; png exact (input_hint invariant)") {
+    (0 until 20).foreach { i =>
+      val pay = Synth.fetch(s"http://host$i.example.com/v/item$i")
+      if (pay.ok) {
+        val decoded = ImageCodec.pixels(ImageCodec.decode(pay.bytes))
+        val orig = ImageCodec.synthPixels(pay.w, pay.h,
+          Hashing.xx64(s"px:${Synth.DefaultSeed}:${Hashing.fp(s"http://host$i.example.com/v/item$i")}"))
+        val p = ImageCodec.psnr(orig, decoded)
+        if (pay.fmt == "png") assert(p.isPosInfinity, s"png not exact: $p")
+        else assert(p >= 40.0, s"jpg PSNR $p < 40 for ${pay.w}x${pay.h}")
+      }
+    }
+  }
+
+  test("JVM xx64 matches Spark xxhash64 column bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val urls = Seq("http://HostA.example.com/v/abc#frag", "  http://h.com  ",
+      "http://host1.example.com/v/xyz", "https://h.com:80/p", "http://h.com")
+    val sparkSide = urls.toDF("u").select(xxhash64(col("u"))).as[Long].collect()
+    val jvmSide = urls.map(Hashing.xx64)
+    assert(sparkSide.toSeq === jvmSide)
+  }
+
+  test("canonicalizeCol matches JVM canonicalize on tricky urls") {
+    import spark.implicits._
+    val urls = Seq("http://HostA.example.com/v/ABC#frag", "  http://h.com  ",
+      "http://host1.example.com/v/xyz", "http://H.com:80/Path", "http://h.com",
+      "plainstring", "http://h.com/a/b#x#y")
+    val sparkSide = urls.toDF("u")
+      .select(Hashing.canonicalizeCol(org.apache.spark.sql.functions.col("u")))
+      .as[String].collect()
+    assert(sparkSide.toSeq === urls.map(Hashing.canonicalize))
+  }
+
+  test("fpCol matches JVM fp") {
+    import spark.implicits._
+    val urls = (0 until 50).map(i => s"http://host${i % 7}.example.com/v/id$i")
+    val sparkSide = urls.toDF("u")
+      .select(Hashing.fpCol(org.apache.spark.sql.functions.col("u")))
+      .as[Long].collect()
+    assert(sparkSide.toSeq === urls.map(Hashing.fp))
+  }
+
+  test("phash is stable and distinguishes images") {
+    val a = ImageCodec.synthPixels(64, 64, 1L)
+    val b = ImageCodec.synthPixels(64, 64, 2L)
+    val ha = ImageCodec.phash64(64, 64, a)
+    assert(ha === ImageCodec.phash64(64, 64, a))
+    assert(ImageCodec.hamming(ha, ImageCodec.phash64(64, 64, b)) > 0)
+  }
+
+  test("synthetic fetch is a pure function (same url → same bytes)") {
+    val u = "http://host3.example.com/v/stable"
+    val p1 = Synth.fetch(u); val p2 = Synth.fetch(u)
+    assert(p1.ok === p2.ok)
+    if (p1.ok) {
+      assert(p1.bytes.toSeq === p2.bytes.toSeq)
+      assert(p1.words === p2.words)
+    }
+  }
+}

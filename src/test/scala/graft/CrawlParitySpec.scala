@@ -1,0 +1,129 @@
+package graft
+
+import graft.crawl.{CrawlConfig, CrawlEngine}
+import graft.image.ImageCodec
+import graft.model.CrawlRecord
+import graft.oracle.RefOracle
+import graft.synth.Synth
+import graft.util.Hashing
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** THE parity suite (north rule): the distributed engine's committed
+  * crawl order and final URL-seen set must byte-match the
+  * single-threaded reference-semantics oracle on the same seed list and
+  * politeness budget; stored rows must satisfy the per-row payload
+  * invariant (caption equality; PSNR >= 40 dB lossy / exact lossless).
+  */
+class CrawlParitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val cfg = CrawlConfig(batchSize = 128, universe = 400, batchMs = 60000L)
+  private val nSeeds = 150
+
+  private lazy val engine: CrawlEngine = {
+    val dir = Files.createTempDirectory("crawlparity").toString
+    val e = new CrawlEngine(spark, dir, cfg)
+    e.init(nSeeds)
+    e.drain()
+    e
+  }
+
+  private lazy val oracle = RefOracle.run(nSeeds, cfg)
+
+  private def engineLog: Seq[CrawlRecord] = {
+    import spark.implicits._
+    engine.committedOrder.as[CrawlRecord].collect().toSeq
+  }
+
+  test("committed crawl order byte-matches the oracle") {
+    val got = engineLog.sortBy(r => (r.batchNo, r.priority, r.seq))
+    val want = oracle.log.sortBy(r => (r.batchNo, r.priority, r.seq))
+    assert(got.size === want.size,
+      s"engine processed ${got.size} urls, oracle ${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
+  test("final URL-seen set byte-matches the oracle") {
+    import spark.implicits._
+    val got = engine.seenSet.as[Long].collect().sorted.toSeq
+    assert(got === oracle.seen)
+  }
+
+  test("per-row payload invariant: caption equality + PSNR") {
+    import spark.implicits._
+    val got = engine.media
+      .select("image_id", "caption", "fmt", "w", "h", "bytes", "phash")
+      .as[(String, String, String, Int, Int, Array[Byte], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val want = oracle.media.map(m => m.image_id -> m).toMap
+    assert(got.keySet === want.keySet)
+    want.values.foreach { m =>
+      val (_, caption, fmt, w, h, bytes, phash) = got(m.image_id)
+      assert(caption === m.caption, s"caption mismatch for ${m.image_id}")
+      assert(phash === m.phash)
+      assert(fmt === m.fmt && w === m.w && h === m.h)
+      val gotPx = ImageCodec.pixels(ImageCodec.decode(bytes))
+      val wantPx = ImageCodec.pixels(ImageCodec.decode(m.bytes))
+      if (fmt == "png") assert(gotPx.toSeq === wantPx.toSeq)
+      else assert(ImageCodec.psnr(gotPx, wantPx) >= 40.0)
+    }
+  }
+
+  test("politeness budget respected per batch (host cap)") {
+    import spark.implicits._
+    val perBatchHost = engine.committedOrder.as[CrawlRecord].collect()
+      .groupBy(r => (r.batchNo, Hashing.host(r.url)))
+    perBatchHost.foreach { case ((b, host), rows) =>
+      val cap = math.max(1L, cfg.batchMs / Synth.hostPolicy(host, cfg.seed).crawlDelayMs)
+      assert(rows.length <= cap, s"batch $b host $host: ${rows.length} > cap $cap")
+    }
+  }
+
+  test("robots-disallowed urls are never crawled but are in the seen set") {
+    import spark.implicits._
+    val frontier = engine.frontier.read()
+      .select("url", "state", "error")
+      .as[(String, String, String)].collect()
+    val robots = frontier.filter(r => r._3 != null && r._3.startsWith("robots"))
+    assert(robots.nonEmpty, "fixture should include robots-disallowed hosts")
+    robots.foreach { case (_, state, _) => assert(state === "failed") }
+    val crawled = engineLog.map(_.url).toSet
+    robots.foreach { case (url, _, _) => assert(!crawled.contains(url)) }
+  }
+
+  test("resume after crash: recovered rows claimed first, final state parity") {
+    // engine run A: crash after batch 1's processing checkpoint
+    val dir = Files.createTempDirectory("crawlresume").toString
+    val e1 = new CrawlEngine(spark, dir, cfg)
+    e1.init(nSeeds)
+    e1.runBatch(1L) // full batch 1
+    // claim batch 2 but "crash" before processing: simulate by marking
+    // processing without terminal commit
+    run2ClaimOnly(e1)
+    // new engine over same dir = restart
+    val e2 = new CrawlEngine(spark, dir, cfg)
+    val recovered = e2.resume()
+    assert(recovered > 0, "should recover stuck processing rows")
+    e2.drain()
+    // final seen set equals the uninterrupted engine's
+    import spark.implicits._
+    val a = e2.seenSet.as[Long].collect().sorted.toSeq
+    val b = engine.seenSet.as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // every recovered row was processed (no pending/processing left)
+    val leftover = e2.frontier.read()
+      .filter(org.apache.spark.sql.functions.col("state").isin("pending", "processing"))
+      .count()
+    assert(leftover === 0)
+  }
+
+  private def run2ClaimOnly(eng: CrawlEngine): Unit = {
+    import org.apache.spark.sql.functions._
+    val fr = eng.frontier.read()
+    val pending = fr.filter(col("state") === "pending")
+    val policies = graft.frontier.Frontier.policies(spark, pending, cfg.seed)
+    val claimed = graft.frontier.Frontier.claim(pending, policies, cfg.batchSize, cfg.batchMs)
+    eng.frontier.commitUpsert(claimed.withColumn("state", lit("processing")))
+  }
+}
