@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // image pipeline allocates ~1 MB/url churn at 15k urls/s across 32
+  // threads; throughput GC with a roomy young gen keeps it off the
+  // critical path
+  "-XX:+UseParallelGC",
 )

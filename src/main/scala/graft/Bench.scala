@@ -34,9 +34,14 @@ object Bench {
   private def processStage(spark: SparkSession, n: Int): Long = {
     import spark.implicits._
     val seed = graft.synth.Synth.DefaultSeed
-    spark.createDataset(graft.synth.Synth.seedUrls(n))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .map { s =>
+    // url generation happens ON the executors (spark.range), and with
+    // 8 tasks per core: per-url cost varies ~16x (32px..128px images),
+    // so a single wave of cores-sized partitions straggles — small
+    // tasks let the scheduler balance (same lesson at 100 TB). No
+    // shuffle anywhere in this job.
+    spark.range(0L, n.toLong, 1L, spark.sparkContext.defaultParallelism * 8)
+      .map { i =>
+        val s = graft.synth.Synth.seedUrl(i)
         val pay = graft.synth.Synth.fetch(s.url, seed)
         val r = graft.pipeline.UrlPipeline.process(s.url, pay)
         (if (r.ok) 1L else 0L) + r.pieces.size
@@ -49,13 +54,17 @@ object Bench {
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "40000").toInt
     val drainSeeds = sys.env.getOrElse("SPARK_GRAFT_DRAIN_SEEDS", "3000").toInt
 
+    val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES") // dev loop
+
     // 1. query suite
     val s1 = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(s1, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results =
+      if (skipQueries) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(s1, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
 
     // 2. frontier drain (full engine) at local[cpus]
     val drainDir = s"/tmp/graft_bench_drain_$cpus"
@@ -68,28 +77,38 @@ object Bench {
     val drainWall = (System.nanoTime() - d0) / 1e9
     s1.stop()
 
-    // 3. scaling: same job, two parallelism levels
+    // 3. scaling: same job, two parallelism levels; best-of-3 per level
+    // (single-machine runs have multi-second noise from GC/page cache)
     def timeStage(cpus: Int): Double = {
       val s = session(cpus)
       try {
-        processStage(s, math.min(500, scaleN)) // warm-up JIT/codegen
-        val t0 = System.nanoTime()
-        processStage(s, scaleN)
-        (System.nanoTime() - t0) / 1e9
+        processStage(s, math.min(2000, scaleN)) // warm-up JIT/codegen
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          processStage(s, scaleN)
+          (System.nanoTime() - t0) / 1e9
+        }.min
       } finally s.stop()
     }
+    // two N→4N pairs: 4→16 leaves JVM/GC headroom (the closer proxy to
+    // 4x independent executors, which would also 4x their heaps);
+    // 8→32 saturates every hardware core of this single JVM
+    val wall4 = timeStage(4)
+    val wall16 = timeStage(16)
     val wall8 = timeStage(8)
     val wall32 = timeStage(32)
-    val thr8 = scaleN / wall8
-    val thr32 = scaleN / wall32
-    val eff = (thr32 / thr8) / 4.0
+    val eff416 = (wall4 / wall16) / 4.0
+    val eff832 = (wall8 / wall32) / 4.0
 
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       f""""frontier_drain":{"seeds":$drainSeeds,"urls_processed":$processed,"batches":$batches,"wall_sec":$drainWall%.3f,"urls_per_sec":${processed / drainWall}%.1f},""" +
-      f""""scaling":{"job":"fetch+process $scaleN urls","wall_local8":$wall8%.3f,"wall_local32":$wall32%.3f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"efficiency_n_to_4n":$eff%.3f}}""")
+      f""""scaling":{"job":"fetch+process $scaleN urls",""" +
+      f""""wall_local4":$wall4%.3f,"wall_local16":$wall16%.3f,"efficiency_4_to_16":$eff416%.3f,""" +
+      f""""wall_local8":$wall8%.3f,"wall_local32":$wall32%.3f,"efficiency_8_to_32":$eff832%.3f,""" +
+      f""""thr_local32":${scaleN / wall32}%.1f}}""")
   }
 
   private def rmrf(dir: String): Unit = {

@@ -15,6 +15,9 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
   */
 object ImageCodec {
 
+  // disk-backed stream cache is pure overhead for in-memory payloads
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic smooth RGB field for (w,h,seed): low-frequency
     * cosines with seed-derived phases/frequencies. Pure function. */
   def synthPixels(w: Int, h: Int, seed: Long): Array[Int] = {
@@ -51,25 +54,37 @@ object ImageCodec {
   }
 
   def toImage(w: Int, h: Int, rgb: Array[Int]): BufferedImage = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    img.setRGB(0, 0, w, h, rgb, 0, w)
-    img
+    // zero-copy: wrap the pixel array directly (TYPE_INT_RGB layout) —
+    // the duplicate raster + setRGB copy were measurable GC churn at
+    // 20k images/s
+    val db = new java.awt.image.DataBufferInt(rgb, rgb.length)
+    val masks = Array(0xff0000, 0x00ff00, 0x0000ff)
+    val raster = java.awt.image.Raster.createPackedRaster(db, w, h, w, masks, null)
+    val cm = new java.awt.image.DirectColorModel(24, masks(0), masks(1), masks(2))
+    new BufferedImage(cm, raster, false, null)
   }
 
-  /** Encode via ImageIO; jpg pinned to quality 0.95 (one encoder path —
+  // ImageIO writers are not thread-safe and registry lookups are
+  // costly at 15k+ encodes/s — one writer per executor thread
+  private val jpegWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      ImageIO.getImageWritersByFormatName("jpeg").next()
+  }
+
+  /** Encode via ImageIO; jpg pinned to quality 0.98 (one encoder path —
     * SURVEY.md §7 hard-part (f)). */
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     fmt match {
       case "jpg" =>
-        val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+        val writer = jpegWriter.get()
         val param = writer.getDefaultWriteParam
         param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
         param.setCompressionQuality(0.98f)
         val ios = ImageIO.createImageOutputStream(bos)
         writer.setOutput(ios)
         writer.write(null, new IIOImage(img, null, null), param)
-        ios.close(); writer.dispose()
+        ios.close()
       case _ =>
         ImageIO.write(img, "png", bos)
     }

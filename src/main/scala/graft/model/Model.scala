@@ -53,7 +53,9 @@ final case class Frame(idx: Int, isSpeech: Boolean)
 final case class Segment(startSec: Double, endSec: Double)
 
 /** Synthetic fetch outcome (FIXTURES.md §5). `ok=false` → failed with
-  * `error`; words drive the segmentation/alignment pipeline. */
+  * `error`; words drive the segmentation/alignment pipeline.
+  * `frames(i)` = isSpeech for 10 ms frame i — a primitive array, not
+  * 3000 objects/url (GC pressure was the scaling bottleneck). */
 final case class FetchPayload(
     ok: Boolean,
     error: String,
@@ -61,7 +63,7 @@ final case class FetchPayload(
     w: Int,
     h: Int,
     fmt: String,
-    frames: Seq[Frame],
+    frames: Array[Boolean],
     words: Seq[TimedWord])
 
 /** Output payload row — exactly BASELINE.json.input_hint's shape. */

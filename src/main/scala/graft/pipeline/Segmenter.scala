@@ -31,7 +31,17 @@ object Segmenter {
   val Sps = 16000
   val SamplesPerFrame = 160
 
-  def segment(frames: IndexedSeq[Frame],
+  /** Dataset-operator form (§2.10): per-key frames → segments, for use
+    * inside groupByKey(...).flatMapGroups. */
+  def segmentFrames(frames: Seq[Frame],
+                    minLenSec: Double = 5.0,
+                    maxLenSec: Double = 10.0): Vector[Segment] = {
+    val arr = new Array[Boolean](frames.size)
+    frames.foreach(f => if (f.idx < arr.length) arr(f.idx) = f.isSpeech)
+    segment(arr, minLenSec, maxLenSec)
+  }
+
+  def segment(frames: Array[Boolean],
               minLenSec: Double = 5.0,
               maxLenSec: Double = 10.0): Vector[Segment] = {
     val n = frames.length
@@ -50,11 +60,11 @@ object Segmenter {
     var silenceStart = 0.0
 
     while (pos < n) {
-      val f = frames(pos)
+      val isSpeech = frames(pos)
       pos += 1
       val tellSec = pos.toDouble * SamplesPerFrame / Sps // tell()/rate after read
 
-      if (f.isSpeech) {
+      if (isSpeech) {
         silenceRun = 0
         speechRun += 1
         if (speechRun == 1) { /* speech_start_sec - recorded but unused here */ }

@@ -6,15 +6,22 @@ package graft.pipeline
   */
 object TextClean {
 
+  // precompiled — String.replaceAll would recompile per call, which
+  // dominated allocation in the hot pipeline
+  private val Tags     = java.util.regex.Pattern.compile("<[^>]*>")
+  private val Brackets = java.util.regex.Pattern.compile("\\[[^\\]]*\\]")
+  private val Charset  = java.util.regex.Pattern.compile("[^0-9a-zа-яё\\- ]")
+  private val CharsetFull = java.util.regex.Pattern.compile("[^а-яё\\- ]")
+
   /** clean_transcript_text (text_utils.py:28-45), language=ru path.
     * full=true applies the stricter charset (а-яё, hyphen, space). */
   def clean(transcript: String, full: Boolean = false): String = {
     var t = transcript
-    t = t.replaceAll("<[^>]*>", "")
-    t = t.replaceAll("\\[[^\\]]*\\]", "")
+    t = Tags.matcher(t).replaceAll("")
+    t = Brackets.matcher(t).replaceAll("")
     t = t.replace("\n", " ")
-    t = t.trim.toLowerCase.replaceAll("[^0-9a-zа-яё\\- ]", "").trim
-    if (full) t = t.trim.toLowerCase.replaceAll("[^а-яё\\- ]", "").trim
+    t = Charset.matcher(t.trim.toLowerCase).replaceAll("").trim
+    if (full) t = CharsetFull.matcher(t.trim.toLowerCase).replaceAll("").trim
     t
   }
 

@@ -30,7 +30,7 @@ object UrlPipeline {
       return Result(ok = false, error = payload.error, None, Seq.empty, None)
 
     val id = Synth.imageId(url)
-    val segments = Segmenter.segment(payload.frames.toIndexedSeq)
+    val segments = Segmenter.segment(payload.frames)
 
     var speechLen = 0.0
     var good = 0

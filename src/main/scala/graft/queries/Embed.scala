@@ -49,16 +49,20 @@ object Embed {
        |FROM (SELECT vec_id, label, $qvecSql AS q FROM embeddings)""".stripMargin
 
   /** Brute-force cosine top-k: query set = vec_id < 10 (broadcast),
-    * k = 3 nearest per query, rank by exact integer-derived cosine. */
+    * k = 3 nearest per query, rank by exact integer-derived cosine.
+    * Norms are computed once per side BEFORE the join — at 100 TB the
+    * corpus norm is a per-row map over one scan, not per-pair work. */
   def q27CosineTopK(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).withColumn("q", qvec(col("embedding")))
-    val queries = e.select(col("vec_id").as("query_id"), col("q").as("qa"))
-      .filter(col("query_id") < 10)
-    val corpus = e.select(col("vec_id").as("cand_id"), col("q").as("qb"))
+      .withColumn("nrm", qnorm(col("q")))
+    val queries = e.select(col("vec_id").as("query_id"), col("q").as("qa"),
+      col("nrm").as("na")).filter(col("query_id") < 10)
+    val corpus = e.select(col("vec_id").as("cand_id"), col("q").as("qb"),
+      col("nrm").as("nb"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
     corpus.join(broadcast(queries), col("query_id") =!= col("cand_id"))
       .withColumn("cos_sim",
-        qdot(col("qa"), col("qb")).cast("double") / (qnorm(col("qa")) * qnorm(col("qb"))))
+        qdot(col("qa"), col("qb")).cast("double") / (col("na") * col("nb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("cand_id"), col("rank"),
@@ -113,18 +117,29 @@ object Embed {
        |  round(cast(sum(cast(round(cos_sim, 6) as decimal(18,4))) as double), 6) AS sum_sim
        |FROM assign WHERE rn = 1 GROUP BY centroid_id""".stripMargin
 
+  /** The ±1 hyperplane weight matrix, computed driver-side with the
+    * same md5 derivation the DuckDB oracle uses (JVM MessageDigest md5
+    * == Spark md5 == DuckDB md5) — shipped as a literal, so the hot
+    * path does array lookups instead of 8×64 md5 calls per row. */
+  private lazy val lshWeights: Seq[Seq[Long]] = {
+    def h60jvm(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    (0 until 8).map(p => (0 until 64).map(i =>
+      if (h60jvm(s"$p|$i") % 2 == 1) 1L else -1L))
+  }
+
   /** LSH bucketing over embeddings: 8 deterministic hyperplanes drawn
     * from md5 of (plane, dim) — sign bits form the bucket key. */
   def q29EmbedLsh(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).withColumn("q", qvec(col("embedding")))
-    // plane p, dim i weight: +1 if bit of h60("p|i") else -1 (deterministic)
+    val wLit = typedLit(lshWeights)
     val withBits = e.withColumn("p", explode(sequence(lit(0), lit(7))))
       .withColumn("proj",
         aggregate(
-          zip_with(col("q"),
-            transform(sequence(lit(0), size(col("q")) - 1),
-              i => when(pmod(h60(concat(col("p").cast("string"), lit("|"), i.cast("string"))), lit(2)) === 1, lit(1L)).otherwise(lit(-1L))),
-            (x, w) => x * w),
+          zip_with(col("q"), element_at(wLit, col("p") + 1), (x, w) => x * w),
           lit(0L), (acc, v) => acc + v))
       .withColumn("bit", when(col("proj") >= 0, lit(1)).otherwise(lit(0)))
     withBits.groupBy("vec_id")

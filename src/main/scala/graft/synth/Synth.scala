@@ -35,14 +35,17 @@ object Synth {
     math.min(nHosts - 1, math.max(0, r - 1))
   }
 
+  /** Seed url for line i (pure — callable from executors). */
+  def seedUrl(i: Long, nHosts: Int = 100, seed: Long = DefaultSeed): SeedUrl = {
+    val h = zipfHost(unit(s"seed:$seed:host:$i"), nHosts)
+    val id = java.lang.Long.toString(nn(s"seed:$seed:id:$i"), 36)
+    SeedUrl(s"http://host$h.example.com/v/$id", 0, i)
+  }
+
   /** The seed list: n urls over ~nHosts hosts, zipf-skewed; seq = line
     * number (FIFO parity key); priority 0. */
   def seedUrls(n: Int, nHosts: Int = 100, seed: Long = DefaultSeed): Seq[SeedUrl] =
-    (0L until n.toLong).map { i =>
-      val h = zipfHost(unit(s"seed:$seed:host:$i"), nHosts)
-      val id = java.lang.Long.toString(nn(s"seed:$seed:id:$i"), 36)
-      SeedUrl(s"http://host$h.example.com/v/$id", 0, i)
-    }
+    (0L until n.toLong).map(seedUrl(_, nHosts, seed))
 
   // ---- host policies (robots + crawl delay) --------------------------
 
@@ -75,28 +78,39 @@ object Synth {
     ("съешь ещё этих мягких французских булок да выпей же чаю " +
       "speech data model корпус разметка слова кадр поток").split(" ")
 
+  /** splitmix64-style combiner — allocation-free numeric keys for the
+    * per-word value streams (string keys churned ~200 allocs/url). */
+  private def mix(a: Long, b: Long): Long = {
+    var z = a ^ (b * 0x9E3779B97F4A7C15L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private def nnm(a: Long, b: Long, c: Long): Long =
+    mix(mix(a, b), c) & Long.MaxValue
+
   /** Deterministic timed words for a url: 20–80 words, ~300–600 ms each
     * with small gaps; a silence gap every ~12 words (drives segmentation). */
   def words(urlFp: Long, seed: Long): Seq[TimedWord] = {
-    val n = 20 + (nn(s"w:$seed:$urlFp:n") % 61).toInt
+    val n = 20 + (nnm(urlFp, seed, -1L) % 61).toInt
     var t = 0L
     (0 until n).map { i =>
-      val dur = 300 + (nn(s"w:$seed:$urlFp:d:$i") % 301)
+      val dur = 300 + (nnm(urlFp, seed ^ 0x1111L, i.toLong) % 301)
       val gap =
-        if (i > 0 && i % 12 == 0) 800 + (nn(s"w:$seed:$urlFp:g:$i") % 400)
-        else 50 + (nn(s"w:$seed:$urlFp:s:$i") % 50)
+        if (i > 0 && i % 12 == 0) 800 + (nnm(urlFp, seed ^ 0x2222L, i.toLong) % 400)
+        else 50 + (nnm(urlFp, seed ^ 0x3333L, i.toLong) % 50)
       val start = t + gap
       val end = start + dur
       t = end
-      val w = vocab((nn(s"w:$seed:$urlFp:v:$i") % vocab.length).toInt)
+      val w = vocab((nnm(urlFp, seed ^ 0x4444L, i.toLong) % vocab.length).toInt)
       TimedWord(start, end, w)
     }
   }
 
   /** 10 ms speech/silence frames covering the word track (speech where
     * any word overlaps the frame) — segmentation input (§2.10). */
-  def frames(ws: Seq[TimedWord]): Seq[Frame] = {
-    if (ws.isEmpty) return Seq.empty
+  def frames(ws: Seq[TimedWord]): Array[Boolean] = {
+    if (ws.isEmpty) return Array.emptyBooleanArray
     val endMs = ws.last.endMs + 500
     val n = (endMs / 10).toInt + 1
     val speech = new Array[Boolean](n)
@@ -105,7 +119,7 @@ object Synth {
       val fEnd = (w.endMs / 10).toInt
       while (f <= fEnd && f < n) { speech(f) = true; f += 1 }
     }
-    (0 until n).map(i => Frame(i, speech(i)))
+    speech
   }
 
   /** The synthetic fetch: pure function url → payload | unavailable |
@@ -114,9 +128,9 @@ object Synth {
   def fetch(url: String, seed: Long = DefaultSeed): FetchPayload = {
     val f = Hashing.fp(url)
     if (unit(s"avail:$seed:$f") < UnavailableRate)
-      FetchPayload(ok = false, error = "unavailable: no captions", Array.emptyByteArray, 0, 0, null, Seq.empty, Seq.empty)
+      FetchPayload(ok = false, error = "unavailable: no captions", Array.emptyByteArray, 0, 0, null, Array.emptyBooleanArray, Seq.empty)
     else if (unit(s"size:$seed:$f") < TooLargeRate)
-      FetchPayload(ok = false, error = "too large: exceeds cap", Array.emptyByteArray, 0, 0, null, Seq.empty, Seq.empty)
+      FetchPayload(ok = false, error = "too large: exceeds cap", Array.emptyByteArray, 0, 0, null, Array.emptyBooleanArray, Seq.empty)
     else {
       val dims = Array(32, 64, 128)
       val w = dims((nn(s"w:$seed:$f") % 3).toInt)

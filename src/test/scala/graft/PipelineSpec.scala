@@ -7,11 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class PipelineSpec extends AnyFunSuite {
 
-  private def frames(script: String): IndexedSeq[Frame] =
+  private def frames(script: String): Array[Boolean] =
     // script char per 0.1 s = 10 frames: 'S' speech, '.' silence
-    script.zipWithIndex.flatMap { case (c, i) =>
-      (0 until 10).map(j => Frame(i * 10 + j, c == 'S'))
-    }.toIndexedSeq
+    script.flatMap(c => Seq.fill(10)(c == 'S')).toArray
+
+  private def framesAsObjects(script: String): Seq[Frame] =
+    frames(script).zipWithIndex.map { case (s, i) => Frame(i, s) }.toSeq
 
   test("segmenter: basic piece between silences (5-10 s window)") {
     // 1s silence, 6s speech, 1s silence, tail
@@ -41,9 +42,13 @@ class PipelineSpec extends AnyFunSuite {
   test("segmenter is deterministic") {
     val pay = Synth.fetch("http://host1.example.com/v/determinism")
     if (pay.ok) {
-      val a = Segmenter.segment(pay.frames.toIndexedSeq)
-      val b = Segmenter.segment(pay.frames.toIndexedSeq)
+      val a = Segmenter.segment(pay.frames)
+      val b = Segmenter.segment(pay.frames)
       assert(a === b)
+      // the Dataset-operator form agrees with the array form
+      val c = Segmenter.segmentFrames(
+        pay.frames.zipWithIndex.map { case (s, i) => Frame(i, s) }.toSeq)
+      assert(a === c)
     }
   }
 
@@ -82,7 +87,7 @@ class PipelineSpec extends AnyFunSuite {
   test("word-overlap join: exactly-40% boundary excluded (strict >)") {
     // piece [10,20]; word of 1s duration; overlap must be > 0.4 s
     val pay = graft.model.FetchPayload(ok = true, null, Array.emptyByteArray,
-      0, 0, "png", Seq.empty, Seq.empty)
+      0, 0, "png", Array.emptyBooleanArray, Seq.empty)
     // direct predicate check mirroring UrlPipeline
     def included(seg: (Double, Double), wStartMs: Long, wEndMs: Long): Boolean = {
       val ws = wStartMs / 1000.0; val we = wEndMs / 1000.0; val dur = we - ws

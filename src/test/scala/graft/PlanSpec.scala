@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that matter at 100 TB must
+  * be visible in the plan, not assumed — filter pushdown to the
+  * parquet scan, column pruning of the heavy bytes column, broadcast
+  * of small dimensions, no shuffle in scan-shaped jobs. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02 filter is pushed down to the parquet scan") {
+    val plan = formatted(SparkEntry.queries("q02_filter_project")(spark, sf))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.matches("(?s).*PushedFilters: \\[.*l_quantity.*\\].*"),
+      s"quantity predicate not pushed:\n$plan")
+  }
+
+  test("q02 prunes to the referenced columns only (ReadSchema)") {
+    val plan = formatted(SparkEntry.queries("q02_filter_project")(spark, sf))
+    val read = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("l_shipdate"), s"unused column read:\n$read")
+  }
+
+  test("q03 broadcasts the nation dimension") {
+    val plan = formatted(SparkEntry.queries("q03_join_agg")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q01 aggregation has a partial (map-side) phase") {
+    val plan = SparkEntry.queries("q01_group_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"no partial agg:\n$plan")
+  }
+
+  test("media-view projection without bytes never reads the bytes column") {
+    val dir = java.nio.file.Files.createTempDirectory("planspec").toString
+    val eng = new graft.crawl.CrawlEngine(spark, dir,
+      graft.crawl.CrawlConfig(batchSize = 64, universe = 50))
+    eng.init(30)
+    eng.drain(maxBatches = 3)
+    val q = eng.media.select("image_id", "phash")
+    val plan = formatted(q)
+    val read = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("bytes"), s"bytes not pruned:\n$read")
+  }
+
+  test("q27 plans a broadcast join for the query side") {
+    val plan = formatted(SparkEntry.queries("q27_cosine_topk")(spark, sf))
+    assert(plan.contains("Broadcast"), plan)
+  }
+
+  test("hamming64 keeps whole-stage codegen in the near-dup filter") {
+    import graft.functions.Hamming64.hamming64
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(hamming64(col("l_orderkey"), col("l_partkey")) <= 6)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen span:\n$plan")
+  }
+}
