@@ -79,6 +79,39 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     enqueue(Frontier.toEntries(spark, seeds, batchNo = 0L, cfg.seed), batchNo = 0L)
   }
 
+  /** Seed from a one-url-per-line text file (S1 — the reference's seed
+    * txt files): seq = line number, recovered via a zipWithIndex-style
+    * window over (file, offset) order. */
+  def initFromTextFile(path: String): Long = {
+    val lines = spark.read.textFile(path)
+      .filter(l => l.trim.nonEmpty) // F1 blank-row drop
+    val withSeq = lines.toDF("url")
+      .withColumn("seq", row_number().over(
+        Window.orderBy(monotonically_increasing_id())) - 1)
+      .withColumn("priority", lit(Frontier.NormalPriority))
+      .select("url", "priority", "seq").as[SeedUrl]
+    enqueue(Frontier.toEntries(spark, withSeq, batchNo = 0L, cfg.seed), batchNo = 0L)
+  }
+
+  /** Seed via the keyword-search queue (Q10 + S4): each query expands
+    * through bounded paginated search on the driver (mirrors the
+    * recursive nextPageToken scan), then enqueues with the dedup gate.
+    * Returns urls enqueued. */
+  def initFromSearch(queries: Seq[String]): Long = {
+    val expanded = queries.flatMap { q =>
+      Iterator.unfold(Option(0)) {
+        case Some(page) =>
+          val (urls, next) = Synth.searchPage(q, page, cfg.universe, cfg.nHosts, cfg.seed)
+          Some((urls, next))
+        case None => None
+      }.flatten.toSeq
+    }
+    val seeds = spark.createDataset(expanded.zipWithIndex.map { case (u, i) =>
+      SeedUrl(u, Frontier.NormalPriority, i.toLong)
+    })
+    enqueue(Frontier.toEntries(spark, seeds, batchNo = 0L, cfg.seed), batchNo = 0L)
+  }
+
   /** Recovery (Q9): processing → pending at RecoveryPriority. */
   def resume(): Long = {
     if (frontier.currentId.isEmpty) return 0L
@@ -226,4 +259,25 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
 
   /** The final URL-seen set (every fp ever enqueued, any state). */
   def seenSet: DataFrame = frontier.read().select("fp")
+
+  /** Global stats rollup (A4, utils/stats_util.py:20-101): queue
+    * depths + corpus totals, "hours" = sum/3600. One DataFrame so the
+    * whole rollup is a single pass over each table. */
+  def globalStats: DataFrame = {
+    val depths = frontier.read().groupBy("state")
+      .agg(count(lit(1)).as("n"))
+      .select(concat(lit("queue_"), col("state")).as("metric"),
+        col("n").cast("double").as("value"))
+    val corpus = statsView.agg(
+      (sum("speech_duration_sec") / 3600.0).as("speech_hours"),
+      sum("good_pieces").cast("double").as("good_pieces"),
+      sum("total_pieces").cast("double").as("total_pieces"),
+      count(lit(1)).cast("double").as("media_rows"))
+      .select(explode(map(
+        lit("speech_hours"), col("speech_hours"),
+        lit("good_pieces"), col("good_pieces"),
+        lit("total_pieces"), col("total_pieces"),
+        lit("media_rows"), col("media_rows"))).as(Seq("metric", "value")))
+    depths.unionByName(corpus)
+  }
 }

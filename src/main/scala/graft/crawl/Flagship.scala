@@ -65,6 +65,18 @@ object Flagship {
   def exportSplit(spark: SparkSession, sfDir: String): DataFrame =
     ExportQuery.split(engine(spark, sfDir).media)
 
+  /** Multimodal feature extraction over the media payload (decode,
+    * histogram, resize — ImageOps) — rows-only check. */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    graft.image.ImageOps.features(spark, engine(spark, sfDir).media)
+
+  /** Global stats rollup (A4). */
+  def globalStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    engine(spark, sfDir).globalStats
+      .withColumn("value", round(col("value"), 6))
+  }
+
   /** Perceptual near-duplicate images: band the 64-bit phash into
     * 4×16-bit keys, equi-join on any band (never all-pairs), then
     * verify with the codegen'd hamming64 expression (≤ 6 bits apart).

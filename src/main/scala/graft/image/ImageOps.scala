@@ -1,0 +1,100 @@
+package graft.image
+
+import java.awt.image.BufferedImage
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column operators over opaque `binary` payload columns —
+  * the decode / feature-extract / resize / frame-sample family a
+  * training-data pipeline needs (prompt contract). Image ops are REAL
+  * (JDK ImageIO/Graphics2D); video frame-sampling is a clearly-marked
+  * deterministic STUB (no video codecs ship in this container) with
+  * the Spark-side plumbing — schema, batching, registration — real
+  * and tested.
+  *
+  * All are Scala UDFs over binary: per SURVEY.md §2.11 a custom
+  * Expression is only warranted when codegen shows up hot; these are
+  * dominated by the codec work itself, so UDF overhead is noise.
+  */
+object ImageOps {
+
+  final case class Dims(w: Int, h: Int)
+
+  /** Decode → (w, h); null-safe (undecodable → null). */
+  def decodeDims(bytes: Array[Byte]): Option[Dims] =
+    try {
+      val img = ImageCodec.decode(bytes)
+      if (img == null) None else Some(Dims(img.getWidth, img.getHeight))
+    } catch { case _: Throwable => None }
+
+  /** Bilinear resize re-encoded as PNG (lossless so downstream feature
+    * extraction is deterministic). */
+  def resizePng(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val src = ImageCodec.decode(bytes)
+      if (src == null) return None
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+      g.dispose()
+      Some(ImageCodec.encode(dst, "png"))
+    } catch { case _: Throwable => None }
+
+  /** 16-bin normalized luma histogram — the feature-extract op. */
+  def lumaHist16(bytes: Array[Byte]): Option[Seq[Double]] =
+    try {
+      val img = ImageCodec.decode(bytes)
+      if (img == null) return None
+      val px = ImageCodec.pixels(img)
+      val bins = new Array[Double](16)
+      px.foreach { p =>
+        val y = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+          0.114 * (p & 0xff)
+        bins(math.min(15, (y / 16).toInt)) += 1
+      }
+      Some(bins.map(_ / px.length).toSeq)
+    } catch { case _: Throwable => None }
+
+  /** VIDEO FRAME SAMPLING — STUB. A real implementation would demux n
+    * key-frames via a video codec; none ships in this container, so
+    * this returns n deterministic pseudo-frames derived from the
+    * payload hash (each a real encoded PNG thumbnail), keeping the
+    * schema (array<binary>) and partition behavior production-shaped. */
+  def sampleFramesStub(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    val seed = graft.util.Hashing.xx64(java.util.Base64.getEncoder.encodeToString(
+      java.util.Arrays.copyOf(bytes, math.min(bytes.length, 64))))
+    (0 until n).map { i =>
+      val px = ImageCodec.synthPixels(16, 16, seed + i)
+      ImageCodec.encode(ImageCodec.toImage(16, 16, px), "png")
+    }
+  }
+
+  /** Register all ops for Column/SQL use. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("img_dims",
+      (b: Array[Byte]) => decodeDims(b).orNull)
+    spark.udf.register("img_resize_png",
+      (b: Array[Byte], w: Int, h: Int) => resizePng(b, w, h).orNull)
+    spark.udf.register("img_luma_hist16",
+      (b: Array[Byte]) => lumaHist16(b).orNull)
+    spark.udf.register("video_sample_frames",
+      (b: Array[Byte], n: Int) => sampleFramesStub(b, n))
+  }
+
+  /** Feature table over a media frame: dims + histogram + thumbnail
+    * size — the batch multimodal pipeline shape. */
+  def features(spark: SparkSession, media: DataFrame): DataFrame = {
+    register(spark)
+    media
+      .withColumn("dims", call_udf("img_dims", col("bytes")))
+      .withColumn("hist", call_udf("img_luma_hist16", col("bytes")))
+      .withColumn("thumb", call_udf("img_resize_png", col("bytes"), lit(8), lit(8)))
+      .select(col("image_id"), col("fmt"),
+        col("dims.w").as("dec_w"), col("dims.h").as("dec_h"),
+        round(element_at(col("hist"), 1), 6).as("hist_bin0"),
+        round(element_at(col("hist"), 16), 6).as("hist_bin15"),
+        length(col("thumb")).as("thumb_bytes"))
+  }
+}

@@ -15,5 +15,7 @@ object Engine {
     "q33_frontier_depth"  -> (Flagship.crawlFrontierDepth _),
     "q34_export_split"    -> (Flagship.exportSplit _),
     "q35_phash_neardup"   -> (Flagship.phashNearDup _),
+    "q36_media_features"  -> (Flagship.mediaFeatures _),
+    "q37_global_stats"    -> (Flagship.globalStats _),
   )
 }

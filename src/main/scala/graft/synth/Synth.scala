@@ -159,6 +159,26 @@ object Synth {
     }
   }
 
+  /** Paginated keyword-search expansion (reference: the keyword queue
+    * utils/queue_utils.py:42-57 + the 50-per-page recursive scan
+    * yt_playlist_videos_parser.py:40-71, MAX_PAGES guard :36).
+    * Returns (urls-on-page, nextPageToken?) — bounded, deterministic. */
+  val SearchPageSize = 20
+  val SearchMaxPages = 3
+
+  def searchPage(query: String, page: Int, universe: Int,
+                 nHosts: Int = 100, seed: Long = DefaultSeed): (Seq[String], Option[Int]) = {
+    val urls = (0 until SearchPageSize).map { i =>
+      val target = nn(s"search:$seed:$query:$page:$i") % universe
+      val h = zipfHost(unit(s"seed:$seed:host:$target"), nHosts)
+      val id = java.lang.Long.toString(nn(s"seed:$seed:id:$target"), 36)
+      s"http://host$h.example.com/v/$id"
+    }
+    val next = if (page + 1 < SearchMaxPages &&
+      unit(s"searchnext:$seed:$query:$page") < 0.8) Some(page + 1) else None
+    (urls, next)
+  }
+
   /** Image id for a url — "v" + base36(fp) (FIXTURES.md §1). */
   def imageId(url: String): String = {
     val f = Hashing.fp(url)

@@ -1,0 +1,78 @@
+package graft
+
+import graft.crawl.{CrawlConfig, CrawlEngine}
+import graft.image.ImageOps
+import graft.synth.Synth
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Seed sources (text file S1, keyword search Q10/S4) + multimodal
+  * column ops + global stats rollup (A4). */
+class SourcesOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("text-file seed source assigns line-number seq and applies F1 blank drop") {
+    import spark.implicits._
+    val f = Files.createTempFile("seeds", ".txt")
+    Files.writeString(f,
+      "http://host1.example.com/v/aaa\n\n  \nhttp://host2.example.com/v/bbb\nhttp://host1.example.com/v/aaa\n")
+    val eng = new CrawlEngine(spark, Files.createTempDirectory("txtsrc").toString,
+      CrawlConfig(universe = 10))
+    val n = eng.initFromTextFile(f.toString)
+    assert(n === 2) // blank rows dropped, dup url gated
+    val rows = eng.frontier.read().select("url", "seq").as[(String, Long)]
+      .collect().sortBy(_._2)
+    assert(rows.head._1.contains("aaa") && rows.head._2 === 0L)
+    assert(rows(1)._1.contains("bbb"))
+  }
+
+  test("keyword-search expansion is bounded, paginated, deterministic") {
+    val (p0, next0) = Synth.searchPage("речь", 0, 1000)
+    val (p0b, _) = Synth.searchPage("речь", 0, 1000)
+    assert(p0 === p0b)
+    assert(p0.size === Synth.SearchPageSize)
+    // pagination bounded by SearchMaxPages
+    var page = Option(0); var pages = 0
+    while (page.isDefined && pages < 100) {
+      val (_, nxt) = Synth.searchPage("речь", page.get, 1000)
+      page = nxt; pages += 1
+    }
+    assert(pages <= Synth.SearchMaxPages)
+    val eng = new CrawlEngine(spark, Files.createTempDirectory("searchsrc").toString,
+      CrawlConfig(universe = 500))
+    val n = eng.initFromSearch(Seq("речь", "данные"))
+    assert(n > 0 && n <= 2L * Synth.SearchMaxPages * Synth.SearchPageSize)
+  }
+
+  test("image ops: dims/resize/hist real, frame-sample stub deterministic") {
+    val pay = Iterator.from(0).map(i => Synth.fetch(s"http://host1.example.com/v/ops$i"))
+      .find(_.ok).get
+    val dims = ImageOps.decodeDims(pay.bytes).get
+    assert(dims.w === pay.w && dims.h === pay.h)
+    val thumb = ImageOps.resizePng(pay.bytes, 8, 8).get
+    assert(ImageOps.decodeDims(thumb).get === ImageOps.Dims(8, 8))
+    val hist = ImageOps.lumaHist16(pay.bytes).get
+    assert(hist.size === 16)
+    assert(math.abs(hist.sum - 1.0) < 1e-9)
+    val f1 = ImageOps.sampleFramesStub(pay.bytes, 3)
+    val f2 = ImageOps.sampleFramesStub(pay.bytes, 3)
+    assert(f1.size === 3)
+    assert(f1.map(_.toSeq) === f2.map(_.toSeq))
+    // frames are real decodable PNGs (plumbing is production-shaped)
+    f1.foreach(b => assert(ImageOps.decodeDims(b).get === ImageOps.Dims(16, 16)))
+  }
+
+  test("media features query runs over a mini crawl; global stats roll up") {
+    import spark.implicits._
+    val eng = new CrawlEngine(spark, Files.createTempDirectory("feat").toString,
+      CrawlConfig(batchSize = 64, universe = 60))
+    eng.init(40)
+    eng.drain(maxBatches = 5)
+    val feats = ImageOps.features(spark, eng.media).collect()
+    assert(feats.nonEmpty)
+    val gs = eng.globalStats.as[(String, Double)].collect().toMap
+    assert(gs.contains("queue_processed"))
+    assert(gs("media_rows") > 0)
+    assert(gs("good_pieces") <= gs("total_pieces"))
+  }
+}
