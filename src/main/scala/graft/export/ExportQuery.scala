@@ -46,10 +46,16 @@ object ExportQuery {
   def vocabulary(media: DataFrame): DataFrame =
     media.select(col("caption")).filter(col("caption").isNotNull)
 
-  /** Write train/dev/test + vocabulary under `outDir` (S11). */
+  /** Write train/dev/test + vocabulary under `outDir` (S11): CSV with
+    * header per split (the reference's all/train/dev/test.csv,
+    * export-dataset.py:177-186) + one-caption-per-line vocabulary. */
   def writeAll(spark: SparkSession, media: DataFrame, outDir: String): Unit = {
-    val s = split(media)
-    s.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/splits")
-    vocabulary(media).write.mode("overwrite").text(s"$outDir/vocabulary")
+    val s = split(media).cache()
+    try {
+      s.write.mode("overwrite").option("header", "true")
+        .partitionBy("split").csv(s"$outDir/splits_csv")
+      s.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/splits")
+      vocabulary(media).write.mode("overwrite").text(s"$outDir/vocabulary")
+    } finally s.unpersist()
   }
 }

@@ -45,7 +45,8 @@ object Dedup {
       .withColumn("k", md5(lower(trim(col("text")))))
       .withColumn("dup_rank", row_number().over(w))
       .withColumn("group_size", count(lit(1)).over(Window.partitionBy("k")))
-      .select(col("doc_id"), col("k").as("content_key"), col("dup_rank"),
+      .select(col("doc_id"), col("k").as("content_key"),
+        col("dup_rank").cast("long").as("dup_rank"),
         col("group_size"), (col("dup_rank") === 1).as("keep"))
   }
 
@@ -95,7 +96,7 @@ object Dedup {
     * uniformly). Long format (doc_id, i, minhash). */
   def q22MinhashSig(s: SparkSession, d: String): DataFrame =
     shingled(s, d)
-      .withColumn("i", explode(sequence(lit(0), lit(7))))
+      .withColumn("i", explode(sequence(lit(0L), lit(7L))))
       .groupBy("doc_id", "i")
       .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("sh")))).as("minhash"))
 
@@ -160,7 +161,7 @@ object Dedup {
        |       (SELECT unnest(generate_series(0, 15)) AS j)
        |  GROUP BY doc_id, j)
        |SELECT doc_id,
-       |  sum(CASE WHEN vote >= 0 THEN (cast(1 as bigint) << j) ELSE 0 END) AS simhash
+       |  cast(sum(CASE WHEN vote >= 0 THEN (cast(1 as bigint) << j) ELSE 0 END) as bigint) AS simhash
        |FROM bits GROUP BY doc_id""".stripMargin
 
   /** Document fingerprinting: rolling char 8-gram hashes; keep the min

@@ -44,7 +44,7 @@ object Embed {
 
   val q26Sql: String =
     s"""SELECT vec_id, label,
-       |  list_dot_product(q, q) AS qdot_self,
+       |  cast(list_dot_product(q, q) as bigint) AS qdot_self,
        |  round(sqrt(cast(list_dot_product(q, q) as double)) / 1000.0, 6) AS l2_norm
        |FROM (SELECT vec_id, label, $qvecSql AS q FROM embeddings)""".stripMargin
 
@@ -65,7 +65,7 @@ object Embed {
         qdot(col("qa"), col("qb")).cast("double") / (col("na") * col("nb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("query_id"), col("cand_id"), col("rank"),
+      .select(col("query_id"), col("cand_id"), col("rank").cast("long").as("rank"),
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
@@ -158,7 +158,7 @@ object Embed {
        |  FROM q, (SELECT unnest(generate_series(0, 7)) AS p)),
        |buckets AS (
        |  SELECT vec_id,
-       |    sum(cast((CASE WHEN proj >= 0 THEN 1 ELSE 0 END) as bigint) << p) AS bucket
+       |    cast(sum(cast((CASE WHEN proj >= 0 THEN 1 ELSE 0 END) as bigint) << p) as bigint) AS bucket
        |  FROM proj GROUP BY vec_id)
        |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
        |FROM buckets GROUP BY bucket""".stripMargin

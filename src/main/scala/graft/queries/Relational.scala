@@ -106,7 +106,7 @@ object Relational {
     orders(s, d)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
-      .select("o_custkey", "o_orderkey", "rn")
+      .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))
   }
 
   val q07Sql: String =
@@ -152,11 +152,11 @@ object Relational {
     * Structured Streaming pipeline in graft.streaming). */
   def q10EventWindow(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
 
   val q10Sql: String =
-    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n,
       |  cast(sum(cast(value as decimal(18,4))) as double) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 

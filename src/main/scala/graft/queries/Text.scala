@@ -24,7 +24,7 @@ object Text {
               "\\[[^\\]]*\\]", ""),
             "\\n", " "),
           "[^0-9a-zа-яё\\- ]", "")))
-      .select(col("doc_id"), col("clean"), length(col("clean")).as("clean_len"))
+      .select(col("doc_id"), col("clean"), length(col("clean")).cast("long").as("clean_len"))
 
   val q16Sql: String =
     """SELECT doc_id,
@@ -40,8 +40,8 @@ object Text {
   def q17TokenStats(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("token_chars", length(regexp_replace(col("text"), "\\s", "")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("token_chars", length(regexp_replace(col("text"), "\\s", "")).cast("long"))
       .filter(col("n_tokens") >= 5)
       .select(col("doc_id"), col("n_tokens"), col("token_chars"),
         round(col("token_chars").cast("double") / col("n_tokens"), 6).as("avg_token_len"))
@@ -61,9 +61,9 @@ object Text {
   def q18QualityScore(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
-      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_stop", size(filter(col("toks"),
-        t => t.isin("the", "a", "and", "of"))))
+        t => t.isin("the", "a", "and", "of"))).cast("long"))
       .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 6))
       .withColumn("len_ok", col("n_chars").between(100, 2000))
       .withColumn("quality",
@@ -87,9 +87,9 @@ object Text {
   def q19LangId(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
-      .withColumn("c_en", size(filter(col("toks"), t => t.isin("the", "a", "and"))))
-      .withColumn("c_code", size(filter(col("toks"), t => t.isin("spark", "sql", "query", "hash"))))
-      .withColumn("c_data", size(filter(col("toks"), t => t.isin("table", "row", "column", "batch"))))
+      .withColumn("c_en", size(filter(col("toks"), t => t.isin("the", "a", "and"))).cast("long"))
+      .withColumn("c_code", size(filter(col("toks"), t => t.isin("spark", "sql", "query", "hash"))).cast("long"))
+      .withColumn("c_data", size(filter(col("toks"), t => t.isin("table", "row", "column", "batch"))).cast("long"))
       .withColumn("lang_pred",
         when(col("c_en") >= col("c_code") && col("c_en") >= col("c_data"), "en")
           .when(col("c_code") >= col("c_data"), "code")

@@ -62,7 +62,7 @@ class QueriesSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q27_cosine_topk")(spark, sf).collect()
     val byQ = df.groupBy(_.getLong(0))
     byQ.foreach { case (_, rs) =>
-      assert(rs.map(_.getInt(2)).sorted.toSeq === Seq(1, 2, 3))
+      assert(rs.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L))
     }
   }
 
