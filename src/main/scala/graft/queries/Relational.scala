@@ -236,7 +236,41 @@ object Relational {
        |FROM (SELECT *, count(*) OVER (PARTITION BY user_id) AS cnt FROM events)
        |GROUP BY 1, 2""".stripMargin
 
+  /** X5: regex extraction of repeated patterns (timecode-extraction
+    * family, utils/youtube_downloader.py:96-98) — extract-all + count. */
+  def q15RegexExtract(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("hits", regexp_extract_all(col("text"), lit("ba[a-z]+"), lit(0)))
+      .select(col("doc_id"), size(col("hits")).cast("long").as("n_hits"),
+        coalesce(try_element_at(col("hits"), lit(1)), lit("")).as("first_hit"))
+
+  val q15Sql: String =
+    """SELECT doc_id, cast(len(hits) as bigint) AS n_hits,
+      |  coalesce(hits[1], '') AS first_hit
+      |FROM (SELECT doc_id, regexp_extract_all(text, 'ba[a-z]+') AS hits
+      |      FROM documents)""".stripMargin
+
+  /** Running aggregate: cumulative revenue per customer over order
+    * date — the window-frame operator (decimal-exact accumulation). */
+  def q38RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "running_total")
+  }
+
+  val q38Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  cast(sum(cast(o_totalprice as decimal(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_total
+      |FROM orders""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_regex_extract"    -> q15RegexExtract _,
+    "q38_running_sum"      -> q38RunningSum _,
     "q01_group_agg"        -> q01GroupAgg _,
     "q02_filter_project"   -> q02FilterProject _,
     "q03_join_agg"         -> q03JoinAgg _,
@@ -254,6 +288,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q15_regex_extract"    -> q15Sql,
+    "q38_running_sum"      -> q38Sql,
     "q01_group_agg"        -> q01Sql,
     "q02_filter_project"   -> q02Sql,
     "q03_join_agg"         -> q03Sql,
