@@ -52,7 +52,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "40000").toInt
-    val drainSeeds = sys.env.getOrElse("SPARK_GRAFT_DRAIN_SEEDS", "3000").toInt
+    val drainSeeds = sys.env.getOrElse("SPARK_GRAFT_DRAIN_SEEDS", "30000").toInt
 
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES") // dev loop
 
@@ -69,8 +69,9 @@ object Bench {
     // 2. frontier drain (full engine) at local[cpus]
     val drainDir = s"/tmp/graft_bench_drain_$cpus"
     rmrf(drainDir)
+    val drainBatch = sys.env.getOrElse("SPARK_GRAFT_DRAIN_BATCH", "8192").toInt
     val eng = new graft.crawl.CrawlEngine(s1, drainDir,
-      graft.crawl.CrawlConfig(batchSize = 4096))
+      graft.crawl.CrawlConfig(batchSize = drainBatch))
     val d0 = System.nanoTime()
     eng.init(drainSeeds)
     val (batches, processed) = eng.drain()

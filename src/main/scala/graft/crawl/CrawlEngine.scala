@@ -143,6 +143,15 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     n
   }
 
+  private val timing = sys.env.contains("SPARK_GRAFT_BATCH_TIMING")
+  private def phase[T](name: String)(body: => T): T = {
+    if (!timing) return body
+    val t0 = System.nanoTime()
+    val r = body
+    System.err.println(f"[batch-timing] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
   /** One micro-batch. Returns number of urls processed (0 = drained). */
   def runBatch(batchNo: Long): Long = {
     val f = frontier.read().cache()
@@ -150,14 +159,14 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       val pending = f.filter(col("state") === FrontierState.Pending)
       val policies = Frontier.policies(spark, pending, cfg.seed)
       val claimed = Frontier.claim(pending, policies, cfg.batchSize, cfg.batchMs).cache()
-      val nClaimed = claimed.count()
+      val nClaimed = phase("claim")(claimed.count())
       if (nClaimed == 0) return 0L
 
       // checkpoint: claimed rows become `processing` — crash after this
       // commit is what resume() recovers from
-      frontier.commitUpsert(
-        claimed.withColumn("state", lit(FrontierState.Processing)),
-        Map("batch" -> batchNo.toDouble, "claimed" -> nClaimed.toDouble))
+      phase("processing-commit")(frontier.commitUpsert(
+        claimed.withColumn("state", lit(FrontierState.Processing)).coalesce(2),
+        Map("batch" -> batchNo.toDouble, "claimed" -> nClaimed.toDouble)))
 
       // fetch + per-url pipeline, skew-salted (2nd shuffle of the batch)
       val seed = cfg.seed; val universe = cfg.universe; val nHosts = cfg.nHosts
@@ -184,30 +193,31 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
             outlinks = if (r.ok) Synth.outlinks(url, universe, nHosts, seed) else Seq.empty)
         }.cache()
 
-      val nOk = processed.filter(_.ok).count()
+      val nOk = phase("process")(processed.filter(_.ok).count())
 
       // terminal frontier states; processedAt doubles as the crawl log
-      frontier.commitUpsert(
+      phase("terminal-commit")(frontier.commitUpsert(
         processed.map(p => FrontierEntry(p.fp, p.url, p.host, p.priority, p.seq,
           if (p.ok) FrontierState.Processed else FrontierState.Failed,
-          p.error, p.discoveredAt, processedAt = batchNo)).toDF(),
+          p.error, p.discoveredAt, processedAt = batchNo)).toDF().coalesce(2),
         Map("batch" -> batchNo.toDouble, "ok" -> nOk.toDouble,
-          "failed" -> (nClaimed - nOk).toDouble))
+          "failed" -> (nClaimed - nOk).toDouble)))
 
       // single payload commit (media + pieces + stats in one table;
       // bytes column prunes away for queries not touching it)
-      if (nOk > 0) {
+      if (nOk > 0) phase("payload-commit") {
         payload.commitAppend(processed.filter(_.ok)
           .map(p => (p.image_id, p.bytes, p.w, p.h, p.fmt, p.caption, p.phash,
             p.pieces, p.speech_duration_sec, p.good_pieces, p.total_pieces))
           .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-            "pieces", "speech_duration_sec", "good_pieces", "total_pieces"),
+            "pieces", "speech_duration_sec", "good_pieces", "total_pieces")
+          .coalesce(8),
           Map("batch" -> batchNo.toDouble))
       }
 
       // discovered links → next frontier rows (seed-expansion S4):
       // first-occurrence order inside the batch is (parent seq, idx)
-      val maxSeq = f.agg(max("seq")).head.getLong(0)
+      val maxSeq = phase("maxseq")(f.agg(max("seq")).head.getLong(0))
       val discovered = processed.flatMap(p =>
         p.outlinks.zipWithIndex.map { case (u, i) => (u, p.seq, i) })
         .toDF("url", "parentSeq", "idx")
@@ -216,15 +226,15 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
         .withColumn("seq", lit(maxSeq) + row_number().over(wSeq))
         .withColumn("priority", lit(Frontier.NormalPriority))
         .select("url", "priority", "seq").as[SeedUrl]
-      enqueue(Frontier.toEntries(spark, discoveredSeeds, batchNo, cfg.seed),
-        batchNo, existingKeys = Some(f.select("fp")))
+      phase("enqueue")(enqueue(Frontier.toEntries(spark, discoveredSeeds, batchNo, cfg.seed),
+        batchNo, existingKeys = Some(f.select("fp"))))
 
       processed.unpersist(); claimed.unpersist()
 
-      if (batchNo % cfg.compactEvery == cfg.compactEvery - 1) {
-        frontier.compactIfNeeded(maxDeltaFiles = 4)
-        seenTbl.compactIfNeeded(maxDeltaFiles = 4)
-      }
+      // manifest check is free; compaction itself only fires when the
+      // delta-file count warrants it
+      frontier.compactIfNeeded(maxDeltaFiles = 6)
+      seenTbl.compactIfNeeded(maxDeltaFiles = 6)
       nClaimed
     } finally f.unpersist()
   }
