@@ -62,8 +62,14 @@ object Bench {
       if (skipQueries) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(s1, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(s1, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+        // failures are visible in the JSON as negative timings, never
+        // as a plausible near-zero wall time
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
 
     // 2. frontier drain (full engine) at local[cpus]

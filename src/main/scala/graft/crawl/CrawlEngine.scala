@@ -79,14 +79,26 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     enqueue(Frontier.toEntries(spark, seeds, batchNo = 0L, cfg.seed), batchNo = 0L)
   }
 
+  /** Max seq already in the frontier (-1 if empty) — seeding entry
+    * points offset by this so seqs stay globally unique when seed
+    * files and keyword queues are combined (the reference supports
+    * both feeds at once). */
+  private def currentMaxSeq: Long =
+    if (frontier.currentId.isEmpty || frontier.isEmpty) -1L
+    else {
+      val m = frontier.read().agg(max("seq")).head
+      if (m.isNullAt(0)) -1L else m.getLong(0)
+    }
+
   /** Seed from a one-url-per-line text file (S1 — the reference's seed
     * txt files): seq = line number, recovered via a zipWithIndex-style
     * window over (file, offset) order. */
   def initFromTextFile(path: String): Long = {
+    val base = currentMaxSeq + 1
     val lines = spark.read.textFile(path)
       .filter(l => l.trim.nonEmpty) // F1 blank-row drop
     val withSeq = lines.toDF("url")
-      .withColumn("seq", row_number().over(
+      .withColumn("seq", lit(base) + row_number().over(
         Window.orderBy(monotonically_increasing_id())) - 1)
       .withColumn("priority", lit(Frontier.NormalPriority))
       .select("url", "priority", "seq").as[SeedUrl]
@@ -106,8 +118,9 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
         case None => None
       }.flatten.toSeq
     }
+    val base = currentMaxSeq + 1
     val seeds = spark.createDataset(expanded.zipWithIndex.map { case (u, i) =>
-      SeedUrl(u, Frontier.NormalPriority, i.toLong)
+      SeedUrl(u, Frontier.NormalPriority, base + i.toLong)
     })
     enqueue(Frontier.toEntries(spark, seeds, batchNo = 0L, cfg.seed), batchNo = 0L)
   }
@@ -126,8 +139,9 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     * is exact and saves a re-resolution per batch. */
   private def enqueue(entries: DataFrame, batchNo: Long,
                       existingKeys: Option[DataFrame] = None): Long = {
+    val shardSnapshot = Some(seen.snapshotBytes()) // one collect per batch
     val firstOcc = Frontier.firstOccurrence(entries)
-    val probed = seen.probe(firstOcc)
+    val probed = seen.probe(firstOcc, shardSnapshot)
     val keys = existingKeys.getOrElse {
       if (frontier.currentId.isEmpty) spark.emptyDataset[Long].toDF("fp")
       else frontier.read().select("fp")
@@ -135,7 +149,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     val fresh = Frontier.dedupGate(probed, keys).cache()
     val n = fresh.count()
     if (n > 0) {
-      seen.insert(fresh.select("fp"), Map("batch" -> batchNo.toDouble))
+      seen.insert(fresh.select("fp"), Map("batch" -> batchNo.toDouble), shardSnapshot)
       frontier.commitAppend(fresh, Map(
         "batch" -> batchNo.toDouble, "enqueued" -> n.toDouble))
     }
@@ -154,11 +168,13 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
 
   /** One micro-batch. Returns number of urls processed (0 = drained). */
   def runBatch(batchNo: Long): Long = {
+    if (frontier.currentId.isEmpty) return 0L // never initialized
     val f = frontier.read().cache()
+    var claimed: DataFrame = null
     try {
       val pending = f.filter(col("state") === FrontierState.Pending)
       val policies = Frontier.policies(spark, pending, cfg.seed)
-      val claimed = Frontier.claim(pending, policies, cfg.batchSize, cfg.batchMs).cache()
+      claimed = Frontier.claim(pending, policies, cfg.batchSize, cfg.batchMs).cache()
       val nClaimed = phase("claim")(claimed.count())
       if (nClaimed == 0) return 0L
 
@@ -195,18 +211,17 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
 
       val nOk = phase("process")(processed.filter(_.ok).count())
 
-      // terminal frontier states; processedAt doubles as the crawl log
-      phase("terminal-commit")(frontier.commitUpsert(
-        processed.map(p => FrontierEntry(p.fp, p.url, p.host, p.priority, p.seq,
-          if (p.ok) FrontierState.Processed else FrontierState.Failed,
-          p.error, p.discoveredAt, processedAt = batchNo)).toDF().coalesce(2),
-        Map("batch" -> batchNo.toDouble, "ok" -> nOk.toDouble,
-          "failed" -> (nClaimed - nOk).toDouble)))
+      // COMMIT ORDER = crash safety (C6): payload and discovered links
+      // land BEFORE the terminal state flip. A crash anywhere before
+      // the terminal commit leaves rows in `processing`, so resume()
+      // reprocesses them — the payload UPSERT (keyed by image_id)
+      // replays to identical content, and re-discovered links are
+      // dropped by the dedup gate. Nothing is ever lost or duplicated.
 
       // single payload commit (media + pieces + stats in one table;
       // bytes column prunes away for queries not touching it)
       if (nOk > 0) phase("payload-commit") {
-        payload.commitAppend(processed.filter(_.ok)
+        payload.commitUpsert(processed.filter(_.ok)
           .map(p => (p.image_id, p.bytes, p.w, p.h, p.fmt, p.caption, p.phash,
             p.pieces, p.speech_duration_sec, p.good_pieces, p.total_pieces))
           .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash",
@@ -229,14 +244,26 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       phase("enqueue")(enqueue(Frontier.toEntries(spark, discoveredSeeds, batchNo, cfg.seed),
         batchNo, existingKeys = Some(f.select("fp"))))
 
-      processed.unpersist(); claimed.unpersist()
+      // terminal frontier states; processedAt doubles as the crawl log
+      phase("terminal-commit")(frontier.commitUpsert(
+        processed.map(p => FrontierEntry(p.fp, p.url, p.host, p.priority, p.seq,
+          if (p.ok) FrontierState.Processed else FrontierState.Failed,
+          p.error, p.discoveredAt, processedAt = batchNo)).toDF().coalesce(2),
+        Map("batch" -> batchNo.toDouble, "ok" -> nOk.toDouble,
+          "failed" -> (nClaimed - nOk).toDouble)))
+
+      processed.unpersist()
 
       // manifest check is free; compaction itself only fires when the
       // delta-file count warrants it
       frontier.compactIfNeeded(maxDeltaFiles = 6)
       seenTbl.compactIfNeeded(maxDeltaFiles = 6)
+      payload.compactIfNeeded(maxDeltaFiles = 12)
       nClaimed
-    } finally f.unpersist()
+    } finally {
+      f.unpersist()
+      if (claimed != null) claimed.unpersist()
+    }
   }
 
   /** Drain the frontier. Returns (batches, urlsProcessed). */

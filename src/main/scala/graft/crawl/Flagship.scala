@@ -22,7 +22,11 @@ object Flagship {
   def engine(spark: SparkSession, sfDir: String): CrawlEngine =
     engines.getOrElseUpdate(sfDir, {
       val n = seedsFor(sfDir)
-      val dir = s"/tmp/graft_crawl_$n"
+      // dir keyed by the CACHE KEY, not the seed count — two distinct
+      // keys with equal seedsFor would otherwise delete each other's
+      // live state out from under cached engines
+      val dir = s"/tmp/graft_crawl_" +
+        sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$n"
       // fresh run every JVM: stale state would shadow code changes
       val root = java.nio.file.Paths.get(dir)
       if (java.nio.file.Files.exists(root)) {

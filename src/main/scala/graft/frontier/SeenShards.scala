@@ -32,14 +32,17 @@ final class SeenShards(spark: SparkSession, table: SnapshotTable,
 
   private def shardOf = pmod(col("fp"), lit(nShards)).cast("int")
 
-  private def loadShardBytes(): Map[Int, Array[Byte]] =
+  /** Current shard bytes (one driver collect) — callers inside a batch
+    * load once and hand the same snapshot to probe() and insert(). */
+  def snapshotBytes(): Map[Int, Array[Byte]] =
     if (table.currentId.isEmpty || table.isEmpty) Map.empty
     else table.read().select("shard", "bytes")
       .as[(Int, Array[Byte])].collect().toMap
 
   /** Adds a `maybeSeen` boolean to `candidates` (needs an `fp` column). */
-  def probe(candidates: DataFrame): DataFrame = {
-    val bytes = loadShardBytes()
+  def probe(candidates: DataFrame,
+            preloaded: Option[Map[Int, Array[Byte]]] = None): DataFrame = {
+    val bytes = preloaded.getOrElse(snapshotBytes())
     if (bytes.isEmpty)
       return candidates.withColumn("maybeSeen", lit(false))
     val bc = spark.sparkContext.broadcast(bytes)
@@ -49,9 +52,10 @@ final class SeenShards(spark: SparkSession, table: SnapshotTable,
   }
 
   /** Merge new fingerprints into the shard filters (upsert commit). */
-  def insert(newFps: DataFrame, metrics: Map[String, Double] = Map.empty): Unit = {
+  def insert(newFps: DataFrame, metrics: Map[String, Double] = Map.empty,
+             preloaded: Option[Map[Int, Array[Byte]]] = None): Unit = {
     val buckets = shardBuckets
-    val bc = spark.sparkContext.broadcast(loadShardBytes())
+    val bc = spark.sparkContext.broadcast(preloaded.getOrElse(snapshotBytes()))
     val merged = newFps.select(col("fp")).withColumn("shard", shardOf)
       .as[(Long, Int)]
       .groupByKey(_._2)

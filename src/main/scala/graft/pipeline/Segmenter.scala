@@ -36,8 +36,11 @@ object Segmenter {
   def segmentFrames(frames: Seq[Frame],
                     minLenSec: Double = 5.0,
                     maxLenSec: Double = 10.0): Vector[Segment] = {
-    val arr = new Array[Boolean](frames.size)
-    frames.foreach(f => if (f.idx < arr.length) arr(f.idx) = f.isSpeech)
+    if (frames.isEmpty) return Vector.empty
+    // size by max index, not count: sparse inputs (filtered upstream)
+    // mean "unlisted frame = silence", never "drop the frame"
+    val arr = new Array[Boolean](frames.iterator.map(_.idx).max + 1)
+    frames.foreach(f => if (f.idx >= 0) arr(f.idx) = f.isSpeech)
     segment(arr, minLenSec, maxLenSec)
   }
 

@@ -21,6 +21,11 @@ object Hashing {
   /** Deterministic canonical form: trim, lowercase scheme+host, strip
     * fragment, strip default :80, empty path → "/". Pure string ops so
     * the column twin is exactly expressible with builtins. */
+  // default-port strip, ANCHORED to the authority — ":80/" later in the
+  // path must never match or distinct urls collapse to one fingerprint
+  private val DefaultPort = java.util.regex.Pattern
+    .compile("^([a-z][a-z0-9+.-]*://[^/:]*):80(/|$)")
+
   def canonicalize(raw: String): String = {
     val t = raw.trim
     val noFrag = { val i = t.indexOf('#'); if (i >= 0) t.substring(0, i) else t }
@@ -33,7 +38,7 @@ object Hashing {
         val hostEnd = if (hostEnd0 < 0) noFrag.length else hostEnd0
         noFrag.substring(0, hostEnd).toLowerCase + noFrag.substring(hostEnd)
       }
-    val noPort = s.replaceFirst(":80/", "/")
+    val noPort = DefaultPort.matcher(s).replaceFirst("$1$2")
     if (noPort.contains("://") && noPort.indexOf('/', noPort.indexOf("://") + 3) < 0)
       noPort + "/"
     else noPort
@@ -62,13 +67,16 @@ object Hashing {
   /** Column twin of `canonicalize` — builtins only (codegen'd). */
   def canonicalizeCol(c: Column): Column = {
     val t = trim(c)
-    val noFrag = regexp_replace(t, "#.*$", "")
+    // (?s): a '#' fragment may contain newlines; JVM twin cuts at the
+    // first '#' unconditionally
+    val noFrag = regexp_replace(t, "(?s)#.*", "")
     // lower(scheme://host) + unchanged path: split at first '/' after '://'
     val prefix = regexp_extract(noFrag, "^([^:]+://[^/]*)", 1)
     val path = regexp_replace(noFrag, "^[^:]+://[^/]*", "")
     val recombined = concat(lower(prefix), path)
     val base = when(prefix === "", noFrag).otherwise(recombined)
-    val noPort = regexp_replace(base, ":80/", "/")
+    // authority-anchored default-port strip — same pattern as the JVM twin
+    val noPort = regexp_replace(base, "^([a-z][a-z0-9+.-]*://[^/:]*):80(/|$)", "$1$2")
     when(noPort.rlike("://") && !noPort.rlike("://[^/]*/"), concat(noPort, lit("/")))
       .otherwise(noPort)
   }
