@@ -72,17 +72,27 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
 
-    // 2. frontier drain (full engine) at local[cpus]
+    s1.stop()
+    // free the query-phase engines (cached DataFrames, snapshot state)
+    // before the drain — round-1 ran the drain in the query session and
+    // measured 119.8 urls/s under its heap/cache debris vs 554 fresh;
+    // the drain is a distinct workload and gets a fresh session, same
+    // as each scaling level below does
+    graft.crawl.Flagship.reset()
+    System.gc()
+
+    // 2. frontier drain (full engine) in a fresh local[cpus] session
     val drainDir = s"/tmp/graft_bench_drain_$cpus"
     rmrf(drainDir)
     val drainBatch = sys.env.getOrElse("SPARK_GRAFT_DRAIN_BATCH", "8192").toInt
-    val eng = new graft.crawl.CrawlEngine(s1, drainDir,
+    val s2 = session(cpus)
+    val eng = new graft.crawl.CrawlEngine(s2, drainDir,
       graft.crawl.CrawlConfig(batchSize = drainBatch))
     val d0 = System.nanoTime()
     eng.init(drainSeeds)
     val (batches, processed) = eng.drain()
     val drainWall = (System.nanoTime() - d0) / 1e9
-    s1.stop()
+    s2.stop()
 
     // 3. scaling: same job, two parallelism levels; best-of-3 per level
     // (single-machine runs have multi-second noise from GC/page cache)
@@ -109,13 +119,21 @@ object Bench {
 
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(
+    val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      f""""frontier_drain":{"seeds":$drainSeeds,"urls_processed":$processed,"batches":$batches,"wall_sec":$drainWall%.3f,"urls_per_sec":${processed / drainWall}%.1f},""" +
+      f""""frontier_drain":{"seeds":$drainSeeds,"urls_processed":$processed,"batches":$batches,"wall_sec":$drainWall%.3f,"urls_per_sec":${processed / drainWall}%.1f,"fresh_session":true},""" +
       f""""scaling":{"job":"fetch+process $scaleN urls",""" +
       f""""wall_local4":$wall4%.3f,"wall_local16":$wall16%.3f,"efficiency_4_to_16":$eff416%.3f,""" +
       f""""wall_local8":$wall8%.3f,"wall_local32":$wall32%.3f,"efficiency_8_to_32":$eff832%.3f,""" +
-      f""""thr_local32":${scaleN / wall32}%.1f}}""")
+      f""""thr_local32":${scaleN / wall32}%.1f}}"""
+    // file copy so the driver's parser never depends on sbt log framing
+    // (round-1 BENCH had "parsed": null — the JSON line carried an
+    // "[info] " prefix); build.sbt also sets run/outputStrategy to
+    // StdoutOutput so the println below lands unprefixed
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    println(json)
   }
 
   private def rmrf(dir: String): Unit = {

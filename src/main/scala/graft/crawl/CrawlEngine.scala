@@ -7,7 +7,6 @@ import graft.synth.Synth
 import graft.table.SnapshotTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Executor-side output of processing one claimed url. */
 final case class ProcessedUrl(
@@ -16,7 +15,8 @@ final case class ProcessedUrl(
     image_id: String, bytes: Array[Byte], w: Int, h: Int, fmt: String,
     caption: String, phash: Long,
     pieces: Seq[PieceRow],
-    speech_duration_sec: Double, good_pieces: Int, total_pieces: Int,
+    speech_duration_sec: Double, subs_quality: Double,
+    utilization_rate: Double, good_pieces: Int, total_pieces: Int,
     outlinks: Seq[String])
 
 final case class CrawlConfig(
@@ -59,19 +59,37 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
   val seenTbl  = new SnapshotTable(spark, s"$workDir/seen", "shard")
   val seen     = new SeenShards(spark, seenTbl, cfg.nShards, cfg.shardBuckets)
 
+  /** Payload table, or a correctly-typed empty frame before the first
+    * commit (a drain where every fetch failed commits nothing — views
+    * must still resolve their columns). */
+  def payloadDf: DataFrame =
+    if (payload.currentId.isEmpty || payload.isEmpty)
+      spark.emptyDataset[PayloadRow].toDF()
+    else payload.read()
+
+  /** Frontier table with the same empty-safe typing. */
+  def frontierDf: DataFrame =
+    if (frontier.currentId.isEmpty) spark.emptyDataset[FrontierEntry].toDF()
+    else frontier.read()
+
   /** media view — exactly BASELINE.json.input_hint's columns. */
-  def media: DataFrame = payload.read()
+  def media: DataFrame = payloadDf
     .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
-  /** pieces view (reference: parts.csv rows). */
-  def piecesView: DataFrame = payload.read()
+  /** pieces view (reference: parts.csv rows). parts.csv only ever
+    * receives GOOD pieces (vad_first_parser.py:150 continues past bad
+    * ones), so this view filters to good; the underlying payload table
+    * keeps all pieces with the `good` flag for stats/audit. */
+  def piecesView: DataFrame = payloadDf
     .select(col("image_id"), explode(col("pieces")).as("p"))
     .select(col("p.image_id").as("image_id"), col("p.piece_idx"),
       col("p.start_sec"), col("p.end_sec"), col("p.caption"), col("p.good"))
+    .filter(col("good"))
 
-  /** stats view (reference: stats.csv rows). */
-  def statsView: DataFrame = payload.read()
-    .select("image_id", "speech_duration_sec", "good_pieces", "total_pieces")
+  /** stats view (reference: stats.csv rows + utilization rate, A2). */
+  def statsView: DataFrame = payloadDf
+    .select("image_id", "speech_duration_sec", "subs_quality",
+      "utilization_rate", "good_pieces", "total_pieces")
 
   /** Seed the frontier (batch 0). Idempotent dedup via the gate. */
   def init(nSeeds: Int): Unit = {
@@ -91,15 +109,19 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     }
 
   /** Seed from a one-url-per-line text file (S1 — the reference's seed
-    * txt files): seq = line number, recovered via a zipWithIndex-style
-    * window over (file, offset) order. */
+    * txt files): seq = line number among non-blank lines. HadoopRDD
+    * partition order IS file-offset order, so a partition-offset zip
+    * (Rank.zipInOrder) numbers a 10^10-line seed list fully in
+    * parallel — the global-window version pushed the whole file
+    * through one task. */
   def initFromTextFile(path: String): Long = {
     val base = currentMaxSeq + 1
-    val lines = spark.read.textFile(path)
+    val lines = spark.sparkContext.textFile(path)
       .filter(l => l.trim.nonEmpty) // F1 blank-row drop
-    val withSeq = lines.toDF("url")
-      .withColumn("seq", lit(base) + row_number().over(
-        Window.orderBy(monotonically_increasing_id())) - 1)
+      .toDF("url")
+    val (zipped, _) = graft.util.Rank.zipInOrder(lines, "__idx")
+    val withSeq = zipped
+      .withColumn("seq", lit(base) + col("__idx") - 1)
       .withColumn("priority", lit(Frontier.NormalPriority))
       .select("url", "priority", "seq").as[SeedUrl]
     enqueue(Frontier.toEntries(spark, withSeq, batchNo = 0L, cfg.seed), batchNo = 0L)
@@ -204,6 +226,8 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
             phash = m.map(_.phash).getOrElse(0L),
             pieces = r.pieces,
             speech_duration_sec = r.stats.map(_.speech_duration_sec).getOrElse(0.0),
+            subs_quality = r.stats.map(_.subs_quality).getOrElse(0.0),
+            utilization_rate = r.stats.map(_.utilization_rate).getOrElse(0.0),
             good_pieces = r.stats.map(_.good_pieces).getOrElse(0),
             total_pieces = r.stats.map(_.total_pieces).getOrElse(0),
             outlinks = if (r.ok) Synth.outlinks(url, universe, nHosts, seed) else Seq.empty)
@@ -222,10 +246,11 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // bytes column prunes away for queries not touching it)
       if (nOk > 0) phase("payload-commit") {
         payload.commitUpsert(processed.filter(_.ok)
-          .map(p => (p.image_id, p.bytes, p.w, p.h, p.fmt, p.caption, p.phash,
-            p.pieces, p.speech_duration_sec, p.good_pieces, p.total_pieces))
-          .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-            "pieces", "speech_duration_sec", "good_pieces", "total_pieces")
+          .map(p => PayloadRow(p.image_id, p.bytes, p.w, p.h, p.fmt,
+            p.caption, p.phash, p.pieces, p.speech_duration_sec,
+            p.subs_quality, p.utilization_rate, p.good_pieces,
+            p.total_pieces))
+          .toDF()
           .coalesce(8),
           Map("batch" -> batchNo.toDouble))
       }
@@ -236,9 +261,13 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       val discovered = processed.flatMap(p =>
         p.outlinks.zipWithIndex.map { case (u, i) => (u, p.seq, i) })
         .toDF("url", "parentSeq", "idx")
-      val wSeq = Window.orderBy("parentSeq", "idx")
-      val discoveredSeeds = discovered
-        .withColumn("seq", lit(maxSeq) + row_number().over(wSeq))
+      // seq by global (parentSeq, idx) order via partition-offset rank —
+      // same output as the old single-partition window, but parallel
+      // (and the same code path a 100 TB discovery wave would take)
+      val (rankedDisc, _) = graft.util.Rank.withGlobalRank(
+        discovered, Seq(col("parentSeq"), col("idx")), "__rn", numParts = 8)
+      val discoveredSeeds = rankedDisc
+        .withColumn("seq", lit(maxSeq) + col("__rn"))
         .withColumn("priority", lit(Frontier.NormalPriority))
         .select("url", "priority", "seq").as[SeedUrl]
       phase("enqueue")(enqueue(Frontier.toEntries(spark, discoveredSeeds, batchNo, cfg.seed),
@@ -255,10 +284,17 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       processed.unpersist()
 
       // manifest check is free; compaction itself only fires when the
-      // delta-file count warrants it
-      frontier.compactIfNeeded(maxDeltaFiles = 6)
-      seenTbl.compactIfNeeded(maxDeltaFiles = 6)
-      payload.compactIfNeeded(maxDeltaFiles = 12)
+      // delta-file count warrants it. Each compaction also expires
+      // superseded snapshots (reference analog:
+      // remove_extra_data_for_processed.py) — without this a long drain
+      // accumulates every snapshot json + data file forever. keepLast=8
+      // retains enough history for restore() while bounding disk.
+      if (frontier.compactIfNeeded(maxDeltaFiles = 6).isDefined)
+        frontier.expire(keepLast = 8)
+      if (seenTbl.compactIfNeeded(maxDeltaFiles = 6).isDefined)
+        seenTbl.expire(keepLast = 8)
+      if (payload.compactIfNeeded(maxDeltaFiles = 12).isDefined)
+        payload.expire(keepLast = 8)
       nClaimed
     } finally {
       f.unpersist()
@@ -301,20 +337,29 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     * depths + corpus totals, "hours" = sum/3600. One DataFrame so the
     * whole rollup is a single pass over each table. */
   def globalStats: DataFrame = {
-    val depths = frontier.read().groupBy("state")
+    val depths = frontierDf.groupBy("state")
       .agg(count(lit(1)).as("n"))
       .select(concat(lit("queue_"), col("state")).as("metric"),
         col("n").cast("double").as("value"))
+    // decimal-routed sums so the rollup is order-independent and
+    // bit-identical to the DuckDB re-derivation over the payload dump
+    def dsum(c: String) = sum(col(c).cast("decimal(28,9)"))
     val corpus = statsView.agg(
-      (sum("speech_duration_sec") / 3600.0).as("speech_hours"),
+      (dsum("speech_duration_sec") / 3600.0).cast("double").as("speech_hours"),
       sum("good_pieces").cast("double").as("good_pieces"),
       sum("total_pieces").cast("double").as("total_pieces"),
-      count(lit(1)).cast("double").as("media_rows"))
+      count(lit(1)).cast("double").as("media_rows"),
+      // A2 rollups: mean utilization + mean subs_quality over urls
+      // (vad_first_parser.py:169-174, stats_util.py:12-18)
+      (dsum("utilization_rate") / count(lit(1))).cast("double").as("avg_utilization"),
+      (dsum("subs_quality") / count(lit(1))).cast("double").as("avg_subs_quality"))
       .select(explode(map(
         lit("speech_hours"), col("speech_hours"),
         lit("good_pieces"), col("good_pieces"),
         lit("total_pieces"), col("total_pieces"),
-        lit("media_rows"), col("media_rows"))).as(Seq("metric", "value")))
+        lit("media_rows"), col("media_rows"),
+        lit("avg_utilization"), col("avg_utilization"),
+        lit("avg_subs_quality"), col("avg_subs_quality"))).as(Seq("metric", "value")))
     depths.unionByName(corpus)
   }
 }

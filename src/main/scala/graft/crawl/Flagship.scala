@@ -18,6 +18,10 @@ object Flagship {
 
   private val engines = scala.collection.concurrent.TrieMap.empty[String, CrawlEngine]
 
+  /** Drop all cached engines (Bench calls this between the query phase
+    * and the drain phase so the old session's state can be GC'd). */
+  def reset(): Unit = engines.clear()
+
   /** Run (once per JVM per scale) and return the engine. */
   def engine(spark: SparkSession, sfDir: String): CrawlEngine =
     engines.getOrElseUpdate(sfDir, {

@@ -85,10 +85,37 @@ final case class PieceRow(
     caption: String,
     good: Boolean)
 
-/** Per-url stats (reference: stats.csv, vad_first_parser.py:185-186). */
+/** Per-url stats — the reference's 4-field stats.csv row
+  * (speech_duration, subs_quality, good_samples, total_samples;
+  * vad_first_parser.py:185-186, utils/stats_util.py:12-18) plus the
+  * utilization rate it derives (speech/total duration, div-0 guarded,
+  * vad_first_parser.py:169-174). subs_quality is the literal 1 the
+  * reference always writes. */
 final case class UrlStats(
     image_id: String,
     speech_duration_sec: Double,
+    subs_quality: Double,
+    utilization_rate: Double,
+    good_pieces: Int,
+    total_pieces: Int)
+
+/** One row of the payload SnapshotTable — media + pieces + per-url
+  * stats in a single table (one commit per batch instead of three).
+  * Also the typed schema source for the empty-table case: views built
+  * on a never-committed payload table must still resolve their columns
+  * (a drain where every fetch failed commits nothing). */
+final case class PayloadRow(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long,
+    pieces: Seq[PieceRow],
+    speech_duration_sec: Double,
+    subs_quality: Double,
+    utilization_rate: Double,
     good_pieces: Int,
     total_pieces: Int)
 

@@ -63,7 +63,14 @@ object UrlPipeline {
     val caption = pieceRows.filter(_.good).map(_.caption).mkString(" ")
     val media = MediaRow(id, payload.bytes, payload.w, payload.h,
       payload.fmt, caption, phash)
-    val stats = UrlStats(id, speechLen, good, segments.length)
+    // A2: total track duration = frame count × 10 ms (reference analog:
+    // filtered-wav byte length / rate, vad_first_parser.py:169);
+    // utilization = speech/total with the reference's div-0 guard
+    // (:171-174); subs_quality is the literal 1 (:185-186)
+    val totalDur = payload.frames.length * 0.01
+    val utilization = if (totalDur > 0) speechLen / totalDur else 0.0
+    val stats = UrlStats(id, speechLen, subs_quality = 1.0,
+      utilization_rate = utilization, good, segments.length)
     Result(ok = true, error = null, Some(media), pieceRows, Some(stats))
   }
 }

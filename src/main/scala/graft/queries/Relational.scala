@@ -180,17 +180,19 @@ object Relational {
 
   /** A5/§3.3: deterministic seeded shuffle + 80/10/10 split.
     * Shuffle key = md5(id || seed) — reproducible under any
-    * partitioning (export-dataset.py:118-127 semantics, seed 42). */
+    * partitioning (export-dataset.py:118-127 semantics, seed 42).
+    * Global positions come from Rank.withGlobalRank (range-partition +
+    * offset prefix sums) — identical output to the global window, but
+    * no single-partition WindowExec at 100 TB. */
   def q12SeededSplit(s: SparkSession, d: String): DataFrame = {
     val keyed = orders(s, d)
       .withColumn("shuffle_key", md5(concat(col("o_orderkey").cast("string"), lit("#42"))))
-    val w = Window.orderBy(col("shuffle_key"), col("o_orderkey"))
-    keyed
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val (ranked, n) = graft.util.Rank.withGlobalRank(keyed,
+      Seq(col("shuffle_key"), col("o_orderkey")), "rn")
+    ranked
       .withColumn("split",
-        when(col("rn") <= floor(col("n") * 0.8), "train")
-          .when(col("rn") <= floor(col("n") * 0.9), "dev")
+        when(col("rn") <= lit(math.floor(n * 0.8).toLong), "train")
+          .when(col("rn") <= lit(math.floor(n * 0.9).toLong), "dev")
           .otherwise("test"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_total"))
@@ -220,11 +222,15 @@ object Relational {
       |FROM events GROUP BY event_type""".stripMargin
 
   /** Skew detection + salting assignment (north-rule hot-host salting):
-    * hosts (users) above a frequency threshold get hash-derived salts. */
+    * hosts (users) above a frequency threshold get hash-derived salts.
+    * Counts come from a key-partitioned window, NOT a broadcast of the
+    * per-user count table — that table grows with the key cardinality
+    * and an unbounded broadcast dies at 100 TB (the engine's own
+    * Frontier.salted broadcast is safe because it is batch-bounded). */
   def q14SkewSalt(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
-    val hot = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
-    ev.join(broadcast(hot), Seq("user_id"))
+    val wCnt = Window.partitionBy("user_id")
+    events(s, d)
+      .withColumn("cnt", count(lit(1)).over(wCnt))
       .withColumn("salt",
         when(col("cnt") > 20, pmod(h60(col("event_id").cast("string")), lit(8))).otherwise(lit(0)))
       .groupBy("user_id", "salt").agg(count(lit(1)).as("n"))

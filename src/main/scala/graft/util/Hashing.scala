@@ -70,9 +70,12 @@ object Hashing {
     // (?s): a '#' fragment may contain newlines; JVM twin cuts at the
     // first '#' unconditionally
     val noFrag = regexp_replace(t, "(?s)#.*", "")
-    // lower(scheme://host) + unchanged path: split at first '/' after '://'
-    val prefix = regexp_extract(noFrag, "^([^:]+://[^/]*)", 1)
-    val path = regexp_replace(noFrag, "^[^:]+://[^/]*", "")
+    // lower(scheme://host) + unchanged path: split at first '/' after the
+    // FIRST '://' — non-greedy .*? mirrors the JVM twin's indexOf("://")
+    // (an anchored [^:]+ would skip urls whose pre-scheme text contains
+    // ':' or '/', silently diverging fp from fpCol)
+    val prefix = regexp_extract(noFrag, "(?s)^(.*?://[^/]*)", 1)
+    val path = regexp_replace(noFrag, "(?s)^.*?://[^/]*", "")
     val recombined = concat(lower(prefix), path)
     val base = when(prefix === "", noFrag).otherwise(recombined)
     // authority-anchored default-port strip — same pattern as the JVM twin
@@ -86,5 +89,5 @@ object Hashing {
 
   /** Column twin of `host`. */
   def hostCol(c: Column): Column =
-    regexp_extract(canonicalizeCol(c), "^[^:]+://([^/]*)", 1)
+    regexp_extract(canonicalizeCol(c), "(?s)^.*?://([^/]*)", 1)
 }

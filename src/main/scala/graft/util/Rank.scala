@@ -1,0 +1,63 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Scalable global row numbering — the distributed replacement for
+  * `row_number().over(Window.orderBy(...))`, which funnels the whole
+  * dataset through ONE task (WindowExec "No Partition Defined").
+  *
+  * Shape (the classic zipWithIndex protocol, and what the reference's
+  * in-memory list positions become at cluster scale):
+  *   1. range-partition + local sort by the order key (one shuffle,
+  *      all partitions in parallel);
+  *   2. count rows per partition (tiny driver collect: one long per
+  *      partition — shuffle output is reused, nothing recomputes);
+  *   3. prefix-sum the counts on the driver;
+  *   4. partition-local row numbers + the partition's offset.
+  *
+  * Output is identical to the global window whenever the order key is
+  * a total order (unique across rows) — every caller here orders by a
+  * key that includes a unique tiebreaker.
+  */
+object Rank {
+
+  /** Append a 1-based global rank column ordered by `order`.
+    * Returns (ranked df, total row count) — callers that need the count
+    * (positional split thresholds) get it for free from step 2.
+    * The returned frame is materialization-stable: ranks depend only on
+    * the order key, not on partition boundaries. */
+  def withGlobalRank(df: DataFrame, order: Seq[Column], rankCol: String,
+                     numParts: Int = 0): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val np = if (numParts > 0) numParts
+             else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(np, order: _*)
+      .sortWithinPartitions(order: _*)
+    val rdd = sorted.rdd // one RDD: both jobs below reuse its shuffle output
+    zipFromOffsets(rdd, sorted.schema, rankCol, spark)
+  }
+
+  /** Append a 1-based index column in the EXISTING partition/row order
+    * (no shuffle) — for sources whose physical order is the semantic
+    * order, e.g. seed text files where seq = line number. */
+  def zipInOrder(df: DataFrame, idxCol: String): (DataFrame, Long) =
+    zipFromOffsets(df.rdd, df.schema, idxCol, df.sparkSession)
+
+  private def zipFromOffsets(rdd: org.apache.spark.rdd.RDD[Row],
+                             schema: StructType, rankCol: String,
+                             spark: org.apache.spark.sql.SparkSession): (DataFrame, Long) = {
+    val counts = spark.sparkContext.runJob(rdd, (it: Iterator[Row]) => {
+      var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+    })
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val outSchema = StructType(
+      schema.fields :+ StructField(rankCol, LongType, nullable = false))
+    val indexed = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var i = offsets(pid)
+      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
+    }
+    (spark.createDataFrame(indexed, outSchema), total)
+  }
+}
