@@ -23,11 +23,15 @@ object SparkEntry {
       graft.queries.Engine.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (engine-internal crawl queries) → driver records rows-only check. */
+    * the same parquet tables. Engine-backed queries (q30-q35, q37) read
+    * the raw snapshot-table dumps Verify writes next to the results —
+    * their SQL carries a `{{DUMPS}}` placeholder that Verify substitutes
+    * with the absolute dump dir. Only q36 (image decode) stays
+    * rows-only. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Text.oracle ++
       graft.queries.Dedup.oracle ++
-      graft.queries.Embed.oracle
+      graft.queries.Embed.oracle ++
+      graft.queries.Engine.oracle
 }

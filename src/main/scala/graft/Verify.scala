@@ -22,6 +22,21 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Engine-state dumps for the q30-q37 oracles: the UNRESOLVED
+    // snapshot-table files (+__delta_seq) — DuckDB re-derives the
+    // latest-wins merge itself, so the driver independently checks the
+    // storage resolution, not a Spark-resolved copy.
+    val dumpsAbs = java.nio.file.Paths.get(outDir).toAbsolutePath.toString
+    try {
+      val eng = graft.crawl.Flagship.engine(spark, sfDir)
+      eng.frontier.readRaw().coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/dump_frontier_raw")
+      eng.payload.readRaw().drop("pieces") // lean: no oracle reads pieces
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/dump_payload_raw")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] engine dumps failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,7 +50,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{DUMPS}}", dumpsAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

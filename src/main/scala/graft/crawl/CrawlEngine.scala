@@ -341,18 +341,19 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       .agg(count(lit(1)).as("n"))
       .select(concat(lit("queue_"), col("state")).as("metric"),
         col("n").cast("double").as("value"))
-    // decimal-routed sums so the rollup is order-independent and
-    // bit-identical to the DuckDB re-derivation over the payload dump
-    def dsum(c: String) = sum(col(c).cast("decimal(28,9)"))
+    // decimal-routed sums (order-independent), then cast to double
+    // BEFORE any division — IEEE double ops are exactly specified, so
+    // the DuckDB re-derivation over the payload dump is bit-identical
+    def dsumD(c: String) = sum(col(c).cast("decimal(28,9)")).cast("double")
     val corpus = statsView.agg(
-      (dsum("speech_duration_sec") / 3600.0).cast("double").as("speech_hours"),
+      (dsumD("speech_duration_sec") / lit(3600.0)).as("speech_hours"),
       sum("good_pieces").cast("double").as("good_pieces"),
       sum("total_pieces").cast("double").as("total_pieces"),
       count(lit(1)).cast("double").as("media_rows"),
       // A2 rollups: mean utilization + mean subs_quality over urls
       // (vad_first_parser.py:169-174, stats_util.py:12-18)
-      (dsum("utilization_rate") / count(lit(1))).cast("double").as("avg_utilization"),
-      (dsum("subs_quality") / count(lit(1))).cast("double").as("avg_subs_quality"))
+      (dsumD("utilization_rate") / count(lit(1)).cast("double")).as("avg_utilization"),
+      (dsumD("subs_quality") / count(lit(1)).cast("double")).as("avg_subs_quality"))
       .select(explode(map(
         lit("speech_hours"), col("speech_hours"),
         lit("good_pieces"), col("good_pieces"),

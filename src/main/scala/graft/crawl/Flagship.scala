@@ -58,7 +58,8 @@ object Flagship {
     import org.apache.spark.sql.functions._
     engine(spark, sfDir).media
       .select(col("image_id"), col("w"), col("h"), col("fmt"),
-        col("caption"), col("phash"), length(col("bytes")).as("n_bytes"))
+        col("caption"), col("phash"),
+        length(col("bytes")).cast("long").as("n_bytes")) // bigint = octet_length dtype
   }
 
   def crawlStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -66,7 +67,7 @@ object Flagship {
 
   def crawlFrontierDepth(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    engine(spark, sfDir).frontier.read()
+    engine(spark, sfDir).frontierDf
       .groupBy("state").agg(count(lit(1)).as("n")) // Q11 queue-depth stats
   }
 
@@ -78,12 +79,11 @@ object Flagship {
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
     graft.image.ImageOps.features(spark, engine(spark, sfDir).media)
 
-  /** Global stats rollup (A4). */
-  def globalStats(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
+  /** Global stats rollup (A4). No rounding: every value is either an
+    * exact count or a decimal-routed sum followed by IEEE double ops,
+    * both bit-reproducible in the DuckDB re-derivation. */
+  def globalStats(spark: SparkSession, sfDir: String): DataFrame =
     engine(spark, sfDir).globalStats
-      .withColumn("value", round(col("value"), 6))
-  }
 
   /** Perceptual near-duplicate images: band the 64-bit phash into
     * 4×16-bit keys, equi-join on any band (never all-pairs), then
@@ -103,7 +103,7 @@ object Flagship {
     a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        hamming64(col("ph_a"), col("ph_b")).as("hamming"))
+        hamming64(col("ph_a"), col("ph_b")).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 6)
   }

@@ -57,10 +57,25 @@ object Dedup {
       |    count(*) OVER (PARTITION BY k) AS group_size
       |  FROM (SELECT doc_id, md5(lower(trim(text))) AS k FROM documents))""".stripMargin
 
-  /** n-gram Jaccard near-dup: pairs within a source sharing >= 1 shingle,
-    * jaccard = |A∩B| / |A∪B| (exact ints → exact double). */
+  /** Hot shingles (stopword n-grams) make the equi-join quadratic: one
+    * shingle present in k docs yields k² pair rows. Standard winnowing
+    * practice drops shingles above a document-frequency cap BEFORE pair
+    * generation; jaccard is then computed consistently over the capped
+    * shingle space (sizes too). At 100 TB this bounds every join group
+    * at MaxShingleDf² rows. */
+  val MaxShingleDf = 50
+
+  /** n-gram Jaccard near-dup: pairs within a source sharing >= 1
+    * (non-hot) shingle, jaccard = |A∩B| / |A∪B| over the capped shingle
+    * space (exact ints → exact double). */
   def q21NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // df cap via key-partitioned window — one shuffle on (source, sh),
+    // the same key the pair join uses
+    val wDf = Window.partitionBy("source", "sh")
     val sh = shingled(s, d)
+      .withColumn("__df", count(lit(1)).over(wDf))
+      .filter(col("__df") <= MaxShingleDf)
+      .drop("__df")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("source"), col("sh"))
@@ -78,10 +93,15 @@ object Dedup {
 
   val q21Sql: String =
     s"""WITH $shingleCte,
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       |capped AS (
+       |  SELECT doc_id, source, sh FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY source, sh) AS df
+       |    FROM shingles)
+       |  WHERE df <= $MaxShingleDf),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |  FROM shingles a JOIN shingles b
+       |  FROM capped a JOIN capped b
        |    ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter,

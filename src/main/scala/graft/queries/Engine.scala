@@ -3,11 +3,23 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Engine-internal queries (crawl drain, export split over crawl
-  * output) — not SQL-expressible over the driver tables, so they get
-  * the rows-only check. All deterministic: the crawl is a pure
-  * function of (seed count, config). */
+  * output) — AND their DuckDB oracles. The engine's state is not one of
+  * the driver tables, so Verify dumps the UNRESOLVED snapshot-table
+  * files (base + deltas with `__delta_seq`) next to the results and the
+  * oracle SQL re-derives everything independently in DuckDB over
+  * `read_parquet(...)`: the merge-on-read latest-wins resolution, the
+  * committed-order filter/sort, the queue-depth rollup, the full export
+  * query, the phash-band near-dup join, and the global stats — so the
+  * driver's gate checks the engine's storage resolution and query
+  * logic, not just row counts.
+  *
+  * `{{DUMPS}}` is substituted by Verify with the absolute dump dir.
+  * q36 (media feature extraction) keeps the rows-only check: its
+  * decode/histogram path is image work DuckDB cannot re-derive.
+  */
 object Engine {
   import graft.crawl.Flagship
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_crawl_order"     -> (Flagship.crawlOrder _),
     "q31_crawl_media"     -> (Flagship.crawlMedia _),
@@ -17,5 +29,110 @@ object Engine {
     "q35_phash_neardup"   -> (Flagship.phashNearDup _),
     "q36_media_features"  -> (Flagship.mediaFeatures _),
     "q37_global_stats"    -> (Flagship.globalStats _),
+  )
+
+  /** Latest-wins resolution of a raw snapshot-table dump — the DuckDB
+    * twin of SnapshotTable.readResolved. */
+  private def resolved(dump: String, key: String): String =
+    s"""SELECT * EXCLUDE (__delta_seq, __rn) FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY $key ORDER BY __delta_seq DESC) AS __rn
+       |  FROM read_parquet('{{DUMPS}}/$dump/*.parquet'))
+       |WHERE __rn = 1""".stripMargin
+
+  val q30Sql: String =
+    s"""WITH f AS (${resolved("dump_frontier_raw", "fp")})
+       |SELECT processedAt AS batchNo, priority, seq, fp, url, state, error
+       |FROM f
+       |WHERE state IN ('processed', 'failed') AND processedAt >= 0
+       |ORDER BY batchNo, priority, seq""".stripMargin
+
+  val q31Sql: String =
+    s"""WITH p AS (${resolved("dump_payload_raw", "image_id")})
+       |SELECT image_id, w, h, fmt, caption, phash,
+       |  octet_length(bytes) AS n_bytes
+       |FROM p""".stripMargin
+
+  val q32Sql: String =
+    s"""WITH p AS (${resolved("dump_payload_raw", "image_id")})
+       |SELECT image_id, speech_duration_sec, subs_quality,
+       |  utilization_rate, good_pieces, total_pieces
+       |FROM p""".stripMargin
+
+  val q33Sql: String =
+    s"""WITH f AS (${resolved("dump_frontier_raw", "fp")})
+       |SELECT state, count(*) AS n FROM f GROUP BY state""".stripMargin
+
+  /** Full export re-derivation (maintenance/export-dataset.py §3.3):
+    * first-occurrence dedup → full-mode clean → min-2-words filter →
+    * md5 seeded shuffle → 80/10/10 positional split. */
+  val q34Sql: String =
+    s"""WITH p AS (${resolved("dump_payload_raw", "image_id")}),
+       |dedup AS (
+       |  SELECT image_id, caption FROM (
+       |    SELECT image_id, caption,
+       |      row_number() OVER (PARTITION BY caption ORDER BY image_id) AS rn
+       |    FROM p WHERE caption IS NOT NULL AND length(trim(caption)) > 0)
+       |  WHERE rn = 1),
+       |cleaned AS (
+       |  SELECT image_id,
+       |    trim(regexp_replace(lower(trim(caption)), '[^а-яё\\- ]', '', 'g')) AS caption_clean
+       |  FROM dedup),
+       |filtered AS (
+       |  SELECT * FROM cleaned
+       |  WHERE len(regexp_split_to_array(trim(caption_clean), '\\s+')) >= 2),
+       |ranked AS (
+       |  SELECT image_id, caption_clean,
+       |    row_number() OVER (ORDER BY md5(concat(image_id, '#42')), image_id) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM filtered)
+       |SELECT image_id, caption_clean,
+       |  CASE WHEN rn <= floor(n * 0.8) THEN 'train'
+       |       WHEN rn <= floor(n * 0.9) THEN 'dev'
+       |       ELSE 'test' END AS split
+       |FROM ranked""".stripMargin
+
+  /** Hamming-LSH re-derivation: 4×16-bit bands, equi-join, popcount. */
+  val q35Sql: String =
+    s"""WITH p AS (${resolved("dump_payload_raw", "image_id")}),
+       |banded AS (
+       |  SELECT image_id, phash, band, (phash >> (band * 16)) & 65535 AS band_key
+       |  FROM p, (SELECT unnest([0, 1, 2, 3]) AS band)),
+       |pairs AS (
+       |  SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+       |    a.phash AS ph_a, b.phash AS ph_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.image_id < b.image_id)
+       |SELECT id_a, id_b, cast(bit_count(xor(ph_a, ph_b)) as bigint) AS hamming
+       |FROM pairs
+       |WHERE bit_count(xor(ph_a, ph_b)) <= 6""".stripMargin
+
+  /** Global stats: queue depths from the frontier + decimal-routed
+    * corpus sums from the payload, divisions in IEEE double. */
+  val q37Sql: String =
+    s"""WITH f AS (${resolved("dump_frontier_raw", "fp")}),
+       |p AS (${resolved("dump_payload_raw", "image_id")})
+       |SELECT concat('queue_', state) AS metric, cast(count(*) AS double) AS value
+       |FROM f GROUP BY state
+       |UNION ALL SELECT 'speech_hours',
+       |  cast(sum(cast(speech_duration_sec AS decimal(28,9))) AS double) / 3600.0 FROM p
+       |UNION ALL SELECT 'good_pieces', cast(sum(good_pieces) AS double) FROM p
+       |UNION ALL SELECT 'total_pieces', cast(sum(total_pieces) AS double) FROM p
+       |UNION ALL SELECT 'media_rows', cast(count(*) AS double) FROM p
+       |UNION ALL SELECT 'avg_utilization',
+       |  cast(sum(cast(utilization_rate AS decimal(28,9))) AS double)
+       |    / cast(count(*) AS double) FROM p
+       |UNION ALL SELECT 'avg_subs_quality',
+       |  cast(sum(cast(subs_quality AS decimal(28,9))) AS double)
+       |    / cast(count(*) AS double) FROM p""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q30_crawl_order"    -> q30Sql,
+    "q31_crawl_media"    -> q31Sql,
+    "q32_crawl_stats"    -> q32Sql,
+    "q33_frontier_depth" -> q33Sql,
+    "q34_export_split"   -> q34Sql,
+    "q35_phash_neardup"  -> q35Sql,
+    "q37_global_stats"   -> q37Sql,
   )
 }

@@ -81,6 +81,22 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String) {
       .unionByName(latest)
   }
 
+  /** UNresolved view: every live file's rows + a `__delta_seq` column
+    * (base = 0, delta = its commit id). External engines re-derive the
+    * merge-on-read resolution independently: latest __delta_seq per key
+    * wins — this is what the Verify dump hands to the DuckDB oracle so
+    * the driver checks our resolution logic, not just our projection. */
+  def readRaw(): DataFrame = currentManifest match {
+    case None => spark.emptyDataFrame
+    case Some(m) if m.files.isEmpty => spark.emptyDataFrame
+    case Some(m) =>
+      val schema = StructType.fromDDL(m.schemaDdl)
+      m.files.groupBy(_.deltaSeq).toSeq.sortBy(_._1).map { case (seq, fs) =>
+        spark.read.schema(schema).parquet(fs.map(f => root.resolve(f.path).toString): _*)
+          .withColumn("__delta_seq", lit(seq))
+      }.reduce(_ unionByName _)
+  }
+
   /** Append new rows (new keys) as base files. */
   def commitAppend(df: DataFrame, metrics: Map[String, Double] = Map.empty): Long =
     commit(df, kind = "base", metrics)

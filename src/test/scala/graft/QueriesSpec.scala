@@ -66,6 +66,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q21 hot-shingle cap bounds the pair join (no pairs from shingles with df > cap)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 60 docs share ONLY the hot shingle "aa bb cc" (> MaxShingleDf=50);
+    // 2 docs share a rare shingle set → only that pair may survive
+    val hot = (0 until 60).map(i => (i.toLong, "s1", s"aa bb cc u$i v$i"))
+    val rare = Seq((100L, "s1", "xx yy zz ww"), (101L, "s1", "xx yy zz ww"))
+    val dir = java.nio.file.Files.createTempDirectory("q21cap").toString
+    (hot ++ rare).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("q21_ngram_jaccard")(spark, dir).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 101L)),
+      s"hot shingle leaked into pair generation: ${pairs.mkString(",")}")
+  }
+
   test("q20 keep-flag marks exactly one row per content key") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("q20_dedup_exact")(spark, sf)
