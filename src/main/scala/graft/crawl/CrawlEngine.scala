@@ -32,7 +32,8 @@ final case class CrawlConfig(
     nShards: Int = 16,
     shardBuckets: Int = 1 << 14, // 16k buckets × 4 slots ≈ 55k fps/shard
     targetPerTask: Int = 64,   // skew-salt threshold
-    compactEvery: Int = 4)
+    compactEvery: Int = 4,
+    seenMode: String = "auto") // seen-set path: broadcast | join | auto
 
 /** The iterative micro-batch crawl driver (C2, parse_youtube.py:20-54
   * recast): claim → fetch/process → commit, until the frontier drains.
@@ -57,7 +58,8 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
   val frontier = new SnapshotTable(spark, s"$workDir/frontier", "fp")
   val payload  = new SnapshotTable(spark, s"$workDir/payload", "image_id")
   val seenTbl  = new SnapshotTable(spark, s"$workDir/seen", "shard")
-  val seen     = new SeenShards(spark, seenTbl, cfg.nShards, cfg.shardBuckets)
+  val seen     = new SeenShards(spark, seenTbl, cfg.nShards, cfg.shardBuckets,
+    cfg.seenMode)
 
   /** Payload table, or a correctly-typed empty frame before the first
     * commit (a drain where every fetch failed commits nothing — views
@@ -161,7 +163,11 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     * is exact and saves a re-resolution per batch. */
   private def enqueue(entries: DataFrame, batchNo: Long,
                       existingKeys: Option[DataFrame] = None): Long = {
-    val shardSnapshot = Some(seen.snapshotBytes()) // one collect per batch
+    // broadcast path: ONE collect per batch shared by probe+insert;
+    // join path (design scale): no collect at all — probe/insert
+    // co-partition with the shard table instead
+    val shardSnapshot =
+      if (seen.useJoinPath) None else Some(seen.snapshotBytes())
     val firstOcc = Frontier.firstOccurrence(entries)
     val probed = seen.probe(firstOcc, shardSnapshot)
     val keys = existingKeys.getOrElse {

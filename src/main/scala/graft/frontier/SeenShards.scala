@@ -11,37 +11,73 @@ import org.apache.spark.sql.functions._
   * SnapshotTable — shard = fp mod nShards. All shard filters share
   * `shardBuckets` so delta merges stay bucket-aligned.
   *
-  * probe(): tier-1 membership as a broadcast-backed scalar function —
-  * zero shuffles, stays inside the candidate scan. false ⇒ DEFINITELY
-  * new (skips the exact anti-join); true ⇒ verify against exact state.
-  * insert(): one shuffle (groupByKey on shard) that builds the delta
-  * filter AND merges it with the broadcast existing shard in a single
-  * pass; only touched shards are upserted.
+  * Two physical paths behind one API, selected by `mode`:
   *
-  * Scale note: filters are broadcast while the shard group fits
-  * executor memory (16 × 128 KB here; ~GBs before this breaks). At
-  * 10^10 urls the same code co-partitions candidates by shard instead
-  * of broadcasting — the table layout and two-tier semantics are
-  * unchanged, which is why the broadcast stays an implementation
-  * detail behind probe().
+  *  - "broadcast" (small sets): probe is a broadcast-backed scalar
+  *    function — zero shuffles, stays inside the candidate scan;
+  *    insert groupBys new fps by shard and merges into the broadcast
+  *    existing filter. Requires one driver collect of all shard bytes
+  *    per batch — fine at MBs, fatal at 10^10 urls (~tens of GB).
+  *
+  *  - "join" (design scale): candidates are CO-PARTITIONED with the
+  *    shard rows via a typed cogroup on `shard` — filter bytes move
+  *    once per shard to where the candidates already are, nothing is
+  *    collected to the driver, nothing is broadcast. Probe costs one
+  *    fp shuffle + a rejoin; insert is the same cogroup emitting only
+  *    touched shards. This is the path a 1000-executor cluster runs.
+  *
+  *  - "auto": broadcast while the manifest says the shard-table bytes
+  *    are under `JoinThresholdBytes`, join beyond it. The table layout
+  *    and two-tier semantics (filter says maybe → exact anti-join
+  *    verifies) are identical on both paths — property-tested to give
+  *    byte-identical filters and verdicts.
   */
 final class SeenShards(spark: SparkSession, table: SnapshotTable,
-                       nShards: Int, shardBuckets: Int) {
+                       nShards: Int, shardBuckets: Int,
+                       mode: String = "auto") {
 
   import spark.implicits._
+  require(Set("auto", "broadcast", "join")(mode), s"bad seen mode: $mode")
+
+  /** Above this serialized-filter volume the broadcast path's per-batch
+    * driver collect + rebroadcast stops being a rounding error. */
+  val JoinThresholdBytes: Long = 64L << 20
 
   private def shardOf = pmod(col("fp"), lit(nShards)).cast("int")
+  private def shardOfFp(fp: Long): Int =
+    java.lang.Math.floorMod(fp, nShards.toLong).toInt
 
-  /** Current shard bytes (one driver collect) — callers inside a batch
-    * load once and hand the same snapshot to probe() and insert(). */
+  /** Manifest-level size estimate — zero Spark jobs. */
+  private def tableBytes: Long =
+    table.currentManifest.map(_.files.map(_.bytes).sum).getOrElse(0L)
+
+  /** True when this batch should use the co-partitioned path. */
+  def useJoinPath: Boolean = mode match {
+    case "join"      => true
+    case "broadcast" => false
+    case _           => tableBytes > JoinThresholdBytes
+  }
+
+  private def hasState: Boolean = table.currentId.nonEmpty && !table.isEmpty
+
+  /** Current shard bytes (one driver collect) — broadcast-path callers
+    * inside a batch load once and hand the same snapshot to probe() and
+    * insert(). */
   def snapshotBytes(): Map[Int, Array[Byte]] =
-    if (table.currentId.isEmpty || table.isEmpty) Map.empty
+    if (!hasState) Map.empty
     else table.read().select("shard", "bytes")
       .as[(Int, Array[Byte])].collect().toMap
+
+  private def shardRows: org.apache.spark.sql.Dataset[(Int, Array[Byte])] =
+    if (!hasState) spark.emptyDataset[(Int, Array[Byte])]
+    else table.read().select(col("shard"), col("bytes")).as[(Int, Array[Byte])]
 
   /** Adds a `maybeSeen` boolean to `candidates` (needs an `fp` column). */
   def probe(candidates: DataFrame,
             preloaded: Option[Map[Int, Array[Byte]]] = None): DataFrame = {
+    if (!hasState)
+      return candidates.withColumn("maybeSeen", lit(false))
+    if (useJoinPath && preloaded.isEmpty) return probeJoin(candidates)
     val bytes = preloaded.getOrElse(snapshotBytes())
     if (bytes.isEmpty)
       return candidates.withColumn("maybeSeen", lit(false))
@@ -51,23 +87,64 @@ final class SeenShards(spark: SparkSession, table: SnapshotTable,
     candidates.withColumn("maybeSeen", probeUdf(col("fp")))
   }
 
-  /** Merge new fingerprints into the shard filters (upsert commit). */
+  /** Co-partitioned probe: cogroup candidate fps with shard rows on
+    * `shard`; each task deserializes its one filter and answers
+    * locally; verdicts rejoin the candidates on fp. */
+  private def probeJoin(candidates: DataFrame): DataFrame = {
+    val nS = nShards
+    val cands = candidates.select(col("fp")).as[Long]
+      .groupByKey(fp => java.lang.Math.floorMod(fp, nS.toLong).toInt)
+    val shards = shardRows.groupByKey(_._1)
+    val verdicts = cands.cogroup(shards) { (_, fps, filters) =>
+      val f = filters.buffered.headOption.map(t => CuckooFilter.deserialize(t._2))
+      f match {
+        case None     => fps.map(fp => (fp, false))
+        case Some(cf) => fps.map(fp => (fp, cf.mightContain(fp)))
+      }
+    }.toDF("fp", "maybeSeen")
+    candidates.join(verdicts, Seq("fp"))
+  }
+
+  /** Merge new fingerprints into the shard filters (upsert commit).
+    * Only touched shards are rewritten on either path; insertion order
+    * is pinned (sorted fps) so both paths produce byte-identical
+    * filters. */
   def insert(newFps: DataFrame, metrics: Map[String, Double] = Map.empty,
              preloaded: Option[Map[Int, Array[Byte]]] = None): Unit = {
     val buckets = shardBuckets
-    val bc = spark.sparkContext.broadcast(preloaded.getOrElse(snapshotBytes()))
-    val merged = newFps.select(col("fp")).withColumn("shard", shardOf)
-      .as[(Long, Int)]
-      .groupByKey(_._2)
-      .mapGroups { (shard, rows) =>
-        val f = bc.value.get(shard) match {
-          case Some(existing) => CuckooFilter.deserialize(existing)
-          case None => CuckooFilter.withBuckets(buckets)
-        }
-        rows.map(_._1).toArray.sorted.foreach(f.insert)
-        (shard, f.serialize(), f.count)
+    val merged: DataFrame =
+      if (useJoinPath && preloaded.isEmpty) {
+        val nS = nShards
+        val fps = newFps.select(col("fp")).as[Long]
+          .groupByKey(fp => java.lang.Math.floorMod(fp, nS.toLong).toInt)
+        val shards = shardRows.groupByKey(_._1)
+        fps.cogroup(shards) { (shard, fpIt, existing) =>
+          val arr = fpIt.toArray
+          if (arr.isEmpty) Iterator.empty // untouched shard: no rewrite
+          else {
+            val f = existing.buffered.headOption
+              .map(t => CuckooFilter.deserialize(t._2))
+              .getOrElse(CuckooFilter.withBuckets(buckets))
+            java.util.Arrays.sort(arr)
+            arr.foreach(f.insert)
+            Iterator((shard, f.serialize(), f.count))
+          }
+        }.toDF("shard", "bytes", "count")
+      } else {
+        val bc = spark.sparkContext.broadcast(preloaded.getOrElse(snapshotBytes()))
+        newFps.select(col("fp")).withColumn("shard", shardOf)
+          .as[(Long, Int)]
+          .groupByKey(_._2)
+          .mapGroups { (shard, rows) =>
+            val f = bc.value.get(shard) match {
+              case Some(existing) => CuckooFilter.deserialize(existing)
+              case None => CuckooFilter.withBuckets(buckets)
+            }
+            rows.map(_._1).toArray.sorted.foreach(f.insert)
+            (shard, f.serialize(), f.count)
+          }
+          .toDF("shard", "bytes", "count")
       }
-      .toDF("shard", "bytes", "count")
     if (table.currentId.isEmpty) table.commitAppend(merged, metrics)
     else table.commitUpsert(merged, metrics)
   }

@@ -9,12 +9,15 @@ import java.nio.file.Files
 /** Parity under a second, different configuration — different RNG
   * seed (different robots/delays/content), host count, batch size,
   * politeness window, and universe — to show the byte-match is a
-  * property of the spec, not of one lucky fixture. */
+  * property of the spec, not of one lucky fixture. Runs with the
+  * co-partitioned seen-set path FORCED ON (seenMode=join), so the
+  * design-scale path is parity-verified, not just the broadcast one. */
 class CrawlParityAltSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   private val cfg = CrawlConfig(seed = 7L, nHosts = 23, universe = 250,
-    batchSize = 61, batchMs = 120000L, nShards = 5, targetPerTask = 16)
+    batchSize = 61, batchMs = 120000L, nShards = 5, targetPerTask = 16,
+    seenMode = "join")
   private val nSeeds = 90
 
   private lazy val engine: CrawlEngine = {
