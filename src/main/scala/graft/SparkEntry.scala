@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.Text.all ++
       graft.queries.Dedup.all ++
       graft.queries.Embed.all ++
-      graft.queries.Engine.all
+      graft.queries.Engine.all ++
+      graft.queries.Cue.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Engine-backed queries (q30-q35, q37) read
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.Text.oracle ++
       graft.queries.Dedup.oracle ++
       graft.queries.Embed.oracle ++
-      graft.queries.Engine.oracle
+      graft.queries.Engine.oracle ++
+      graft.queries.Cue.oracle
 }

@@ -46,6 +46,12 @@ final case class HostPolicy(
 /** A word with in-media timestamps (vad_first_parser.py:114-117). */
 final case class TimedWord(startMs: Long, endMs: Long, word: String)
 
+/** A raw caption cue as fetched: header times + (possibly multi-row)
+  * text with inline <h:mm:ss.mmm> word timecodes — the WebVTT autosub
+  * shape the reference downloads and fixes up
+  * (utils/youtube_downloader.py:83-111). */
+final case class RawCue(startMs: Long, endMs: Long, text: String)
+
 /** 10 ms speech/silence frame — segmentation input (§2.10). */
 final case class Frame(idx: Int, isSpeech: Boolean)
 
@@ -53,7 +59,9 @@ final case class Frame(idx: Int, isSpeech: Boolean)
 final case class Segment(startSec: Double, endSec: Double)
 
 /** Synthetic fetch outcome (FIXTURES.md §5). `ok=false` → failed with
-  * `error`; words drive the segmentation/alignment pipeline.
+  * `error`; `cues` is the RAW caption stream — the pipeline runs the
+  * CueParser fixup/parse (S7/F5/X5) to get timed words, exactly like
+  * the reference parses the downloaded .vtt.
   * `frames(i)` = isSpeech for 10 ms frame i — a primitive array, not
   * 3000 objects/url (GC pressure was the scaling bottleneck). */
 final case class FetchPayload(
@@ -64,7 +72,7 @@ final case class FetchPayload(
     h: Int,
     fmt: String,
     frames: Array[Boolean],
-    words: Seq[TimedWord])
+    cues: Seq[RawCue])
 
 /** Output payload row — exactly BASELINE.json.input_hint's shape. */
 final case class MediaRow(

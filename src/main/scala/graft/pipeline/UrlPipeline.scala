@@ -31,13 +31,16 @@ object UrlPipeline {
 
     val id = Synth.imageId(url)
     val segments = Segmenter.segment(payload.frames)
+    // S7/F5/X5: raw cues → fixup → timed words (the reference parses
+    // the downloaded .vtt the same way, youtube_downloader.py:83-111)
+    val timedWords = CueParser.parse(payload.cues)
 
     var speechLen = 0.0
     var good = 0
     val pieceRows = segments.zipWithIndex.flatMap { case (seg, i) =>
       // interval join: word included iff >= 40% of its duration overlaps
       // on both sides (F4, vad_first_parser.py:114-120)
-      val words = payload.words.filter { w =>
+      val words = timedWords.filter { w =>
         val ws = w.startMs / 1000.0; val we = w.endMs / 1000.0
         val dur = we - ws
         (we - seg.startSec > dur * WordInclPerc) &&

@@ -107,6 +107,48 @@ object Synth {
     }
   }
 
+  /** ms → `h:mm:ss.mmm` (the inline-timecode wire format). */
+  def fmtTimecode(ms: Long): String = {
+    val h = ms / 3600000L; val m = (ms / 60000L) % 60
+    val s = (ms / 1000L) % 60; val r = ms % 1000
+    f"$h%d:$m%02d:$s%02d.$r%03d"
+  }
+
+  /** Serialize the word track as an autosub-style cue stream (S7/F5/X5
+    * input): words grouped into cues at the silence-gap boundaries
+    * (every 12 words — the same rule words() uses for gap injection),
+    * each cue in YouTube's rolling two-row format — row 1 repeats the
+    * previous cue's text, row 2 carries this cue's words with inline
+    * `<h:mm:ss.mmm>` timecodes before every word but the first.
+    * Deterministically injected malformed cues exercise the fixup
+    * rules: single-row annotation cues with no timecodes (dropped by
+    * the <2-rows rule) and multi-word rows with no timecodes (dropped
+    * by the >1-word rule) — both are shapes real autosubs produce
+    * (utils/youtube_downloader.py:102-107). */
+  def cues(urlFp: Long, seed: Long, ws: Seq[TimedWord]): Seq[RawCue] = {
+    if (ws.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[RawCue]
+    var prevRow = "" // rolling first row; empty only before the first cue
+    ws.grouped(12).zipWithIndex.foreach { case (g, gi) =>
+      val sb = new StringBuilder
+      sb.append(g.head.word)
+      g.tail.foreach { w =>
+        sb.append('<').append(fmtTimecode(w.startMs)).append("><c> ")
+          .append(w.word).append("</c>")
+      }
+      val row2 = sb.toString
+      val text = if (prevRow.isEmpty) " \n" + row2 else prevRow + "\n" + row2
+      out += RawCue(g.head.startMs, g.last.endMs, text)
+      prevRow = g.map(_.word).mkString(" ")
+      // fixup-rule fodder between real cues (~15% each, seeded)
+      if (unit(s"cue1:$seed:$urlFp:$gi") < 0.15)
+        out += RawCue(g.last.endMs, g.last.endMs + 100, "[музыка]")
+      if (unit(s"cue2:$seed:$urlFp:$gi") < 0.15)
+        out += RawCue(g.last.endMs, g.last.endMs + 100, prevRow + "\nшум в зале")
+    }
+    out.result()
+  }
+
   /** 10 ms speech/silence frames covering the word track (speech where
     * any word overlaps the frame) — segmentation input (§2.10). */
   def frames(ws: Seq[TimedWord]): Array[Boolean] = {
@@ -139,8 +181,14 @@ object Synth {
       val px = ImageCodec.synthPixels(w, h, Hashing.xx64(s"px:$seed:$f"))
       val bytes = ImageCodec.encode(ImageCodec.toImage(w, h, px), fmt)
       val ws = words(f, seed)
+      val cs = cues(f, seed, ws)
+      // frames derive from the PARSED words — the track the pipeline
+      // will actually align against (cue serialization merges intra-cue
+      // gaps into word ends; the big inter-cue silences survive and
+      // drive segmentation)
+      val parsed = graft.pipeline.CueParser.parse(cs)
       FetchPayload(ok = true, error = null, bytes = bytes, w = w, h = h,
-        fmt = fmt, frames = frames(ws), words = ws)
+        fmt = fmt, frames = frames(parsed), cues = cs)
     }
   }
 

@@ -66,7 +66,7 @@ class CodecHashSpec extends AnyFunSuite {
     assert(p1.ok === p2.ok)
     if (p1.ok) {
       assert(p1.bytes.toSeq === p2.bytes.toSeq)
-      assert(p1.words === p2.words)
+      assert(p1.cues === p2.cues)
     }
   }
 }
