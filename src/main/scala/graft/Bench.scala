@@ -117,6 +117,33 @@ object Bench {
     val eff416 = (wall4 / wall16) / 4.0
     val eff832 = (wall8 / wall32) / 4.0
 
+    // allocation-free control at the same pair: separates the scheduler/
+    // hardware ceiling from shared-heap allocation pressure (a real
+    // cluster's executors would each own their heap; this JVM's 32
+    // threads share one young gen)
+    def cpuControl(spark: SparkSession, n: Long): Long = {
+      import spark.implicits._
+      spark.range(0L, n, 1L, spark.sparkContext.defaultParallelism * 8)
+        .map { i =>
+          var z = i * 0x9E3779B97F4A7C15L; var k = 0
+          while (k < 2000) { z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L; k += 1 }
+          z
+        }.reduce(_ ^ _)
+    }
+    def timeControl(cpus: Int): Double = {
+      val s = session(cpus)
+      try {
+        cpuControl(s, 100000L)
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); cpuControl(s, 2000000L)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      } finally s.stop()
+    }
+    val ctl8 = timeControl(8)
+    val ctl32 = timeControl(32)
+    val ctlEff832 = (ctl8 / ctl32) / 4.0
+
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val json =
@@ -125,7 +152,7 @@ object Bench {
       f""""scaling":{"job":"fetch+process $scaleN urls",""" +
       f""""wall_local4":$wall4%.3f,"wall_local16":$wall16%.3f,"efficiency_4_to_16":$eff416%.3f,""" +
       f""""wall_local8":$wall8%.3f,"wall_local32":$wall32%.3f,"efficiency_8_to_32":$eff832%.3f,""" +
-      f""""thr_local32":${scaleN / wall32}%.1f}}"""
+      f""""control_efficiency_8_to_32":$ctlEff832%.3f,"thr_local32":${scaleN / wall32}%.1f}}"""
     // file copy so the driver's parser never depends on sbt log framing
     // (round-1 BENCH had "parsed": null — the JSON line carried an
     // "[info] " prefix); build.sbt also sets run/outputStrategy to

@@ -178,7 +178,9 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     val n = fresh.count()
     if (n > 0) {
       seen.insert(fresh.select("fp"), Map("batch" -> batchNo.toDouble), shardSnapshot)
-      frontier.commitAppend(fresh, Map(
+      // coalesce: a few-thousand-row append across 32 shuffle partitions
+      // would write 32 tiny files whose footers the manifest then reads
+      frontier.commitAppend(fresh.coalesce(4), Map(
         "batch" -> batchNo.toDouble, "enqueued" -> n.toDouble))
     }
     fresh.unpersist()
@@ -201,8 +203,8 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     var claimed: DataFrame = null
     try {
       val pending = f.filter(col("state") === FrontierState.Pending)
-      val policies = Frontier.policies(spark, pending, cfg.seed)
-      claimed = Frontier.claim(pending, policies, cfg.batchSize, cfg.batchMs).cache()
+      claimed = Frontier.claimBySynthPolicy(pending, cfg.seed,
+        cfg.batchSize, cfg.batchMs).cache()
       val nClaimed = phase("claim")(claimed.count())
       if (nClaimed == 0) return 0L
 

@@ -25,10 +25,30 @@ object Frontier {
     *     as TakeOrderedAndProject, no single-partition window.
     * Deterministic: ties impossible (seq unique). */
   def claim(pending: DataFrame, policies: DataFrame,
-            batchSize: Int, batchMs: Long): DataFrame = {
+            batchSize: Int, batchMs: Long): DataFrame =
+    claimWithDelay(pending,
+      p => p.join(broadcast(policies.select("host", "crawlDelayMs")), Seq("host"), "left"),
+      batchSize, batchMs)
+
+  /** Claim with the crawl delay computed as a scalar function of the
+    * host instead of a broadcast-joined table — removes a per-batch
+    * distinct-hosts job + broadcast (the synthetic policy is
+    * deterministic per host, so a table materialization per batch is
+    * pure fixed cost; a real deployment would broadcast a slowly-
+    * changing robots table once, not per batch). */
+  def claimBySynthPolicy(pending: DataFrame, seed: Long,
+                         batchSize: Int, batchMs: Long): DataFrame = {
+    val delayUdf = udf((h: String) => Synth.hostPolicy(h, seed).crawlDelayMs)
+    claimWithDelay(pending,
+      p => p.withColumn("crawlDelayMs", delayUdf(col("host"))),
+      batchSize, batchMs)
+  }
+
+  private def claimWithDelay(pending: DataFrame,
+                             withDelay: DataFrame => DataFrame,
+                             batchSize: Int, batchMs: Long): DataFrame = {
     val wHost = Window.partitionBy("host").orderBy("priority", "seq")
-    pending
-      .join(broadcast(policies.select("host", "crawlDelayMs")), Seq("host"), "left")
+    withDelay(pending)
       .withColumn("hostCap",
         greatest(lit(1L), (lit(batchMs) / coalesce(col("crawlDelayMs"), lit(1000L))).cast("long")))
       .withColumn("hrn", row_number().over(wHost))

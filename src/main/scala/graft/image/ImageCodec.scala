@@ -18,9 +18,43 @@ object ImageCodec {
   // disk-backed stream cache is pure overhead for in-memory payloads
   javax.imageio.ImageIO.setUseCache(false)
 
+  // ---- per-thread buffer pools -----------------------------------------
+  // The crawl hot path allocates ~100 KB/url (pixel arrays × 2, encode
+  // stream, decoded image) — ~2.5 GB/s churn at 25k urls/s across 32
+  // threads sharing ONE young gen in local mode. Real executors would
+  // each have their own heap; in-process we reuse buffers per thread.
+  // Reuse is OPT-IN (the *Reused variants) — only the single-consumer
+  // hot path uses them; tests and the PSNR audit (which needs two live
+  // buffers) keep the allocating API.
+
+  private final class IntPool extends ThreadLocal[java.util.HashMap[Integer, Array[Int]]] {
+    override def initialValue() = new java.util.HashMap[Integer, Array[Int]]()
+    def acquire(n: Int): Array[Int] = {
+      val m = get()
+      var a = m.get(n)
+      if (a == null) { a = new Array[Int](n); m.put(n, a) }
+      a
+    }
+  }
+  private val synthPool = new IntPool  // live during synth→encode
+  private val decodePool = new IntPool // live during decode→phash
+  private val encodeBos = new ThreadLocal[ByteArrayOutputStream] {
+    override def initialValue() = new ByteArrayOutputStream(64 * 1024)
+  }
+
+  /** Deterministic smooth RGB field into a per-thread reused buffer —
+    * hot-path only: the result is invalidated by this thread's next
+    * synthPixelsReused call of the same size. */
+  def synthPixelsReused(w: Int, h: Int, seed: Long): Array[Int] =
+    synthPixelsInto(w, h, seed, synthPool.acquire(w * h))
+
   /** Deterministic smooth RGB field for (w,h,seed): low-frequency
     * cosines with seed-derived phases/frequencies. Pure function. */
-  def synthPixels(w: Int, h: Int, seed: Long): Array[Int] = {
+  def synthPixels(w: Int, h: Int, seed: Long): Array[Int] =
+    synthPixelsInto(w, h, seed, new Array[Int](w * h))
+
+  private def synthPixelsInto(w: Int, h: Int, seed: Long,
+                              out: Array[Int]): Array[Int] = {
     // derive 6 stable params from the seed via an LCG walk
     var s = seed
     def next(): Double = {
@@ -30,7 +64,6 @@ object ImageCodec {
     val fx1 = 1.0 + next() * 2.0; val fy1 = 1.0 + next() * 2.0
     val ph1 = next() * math.Pi * 2; val ph2 = next() * math.Pi * 2
     val ph3 = next() * math.Pi * 2; val mix = next()
-    val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
@@ -64,38 +97,109 @@ object ImageCodec {
     new BufferedImage(cm, raster, false, null)
   }
 
-  // ImageIO writers are not thread-safe and registry lookups are
-  // costly at 15k+ encodes/s — one writer per executor thread
+  // ImageIO writers/readers are not thread-safe and registry lookups
+  // are costly at 15k+ codecs/s — one instance per executor thread
   private val jpegWriter = new ThreadLocal[javax.imageio.ImageWriter] {
     override def initialValue(): javax.imageio.ImageWriter =
       ImageIO.getImageWritersByFormatName("jpeg").next()
   }
+  private val pngWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      ImageIO.getImageWritersByFormatName("png").next()
+  }
+  private val jpegReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      ImageIO.getImageReadersByFormatName("jpeg").next()
+  }
+  private val pngReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      ImageIO.getImageReadersByFormatName("png").next()
+  }
 
   /** Encode via ImageIO; jpg pinned to quality 0.98 (one encoder path —
-    * SURVEY.md §7 hard-part (f)). */
+    * SURVEY.md §7 hard-part (f)). Output stream is a reused per-thread
+    * buffer; toByteArray hands back a right-sized copy. */
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    fmt match {
-      case "jpg" =>
-        val writer = jpegWriter.get()
-        val param = writer.getDefaultWriteParam
-        param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
-        param.setCompressionQuality(0.98f)
-        val ios = ImageIO.createImageOutputStream(bos)
-        writer.setOutput(ios)
-        writer.write(null, new IIOImage(img, null, null), param)
-        ios.close()
-      case _ =>
-        ImageIO.write(img, "png", bos)
+    val bos = encodeBos.get()
+    bos.reset()
+    val writer = if (fmt == "jpg") jpegWriter.get() else pngWriter.get()
+    val param = writer.getDefaultWriteParam
+    if (fmt == "jpg") {
+      param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(0.98f)
     }
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(img, null, null), param)
+    ios.close()
     bos.toByteArray
   }
 
-  def decode(bytes: Array[Byte]): BufferedImage =
-    ImageIO.read(new ByteArrayInputStream(bytes))
+  /** Decode via per-thread cached readers (format sniffed from magic
+    * bytes; falls back to the registry for anything else). */
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    val reader =
+      if (bytes.length > 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+        jpegReader.get()
+      else if (bytes.length > 3 && (bytes(0) & 0xff) == 0x89 &&
+               bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+        pngReader.get()
+      else return ImageIO.read(new ByteArrayInputStream(bytes))
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally iis.close()
+  }
+
+  private val destPool = new ThreadLocal[java.util.HashMap[java.lang.Long, BufferedImage]] {
+    override def initialValue() = new java.util.HashMap[java.lang.Long, BufferedImage]()
+  }
+
+  /** Hot-path decode writing into a per-thread reused destination image
+    * (keyed by dims+type) — the decoded raster is the single largest
+    * per-url allocation. Invalidated by this thread's next decodeReused
+    * of the same shape; NEVER use where two decoded images must be live
+    * at once (e.g. PSNR audits). */
+  def decodeReused(bytes: Array[Byte]): BufferedImage = {
+    val reader =
+      if (bytes.length > 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+        jpegReader.get()
+      else if (bytes.length > 3 && (bytes(0) & 0xff) == 0x89 &&
+               bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+        pngReader.get()
+      else return ImageIO.read(new ByteArrayInputStream(bytes))
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      val w = reader.getWidth(0); val h = reader.getHeight(0)
+      val spec = reader.getImageTypes(0).next()
+      val biType = spec.getBufferedImageType
+      val m = destPool.get()
+      val key = java.lang.Long.valueOf(
+        (w.toLong << 40) | (h.toLong << 16) | (biType.toLong & 0xffff))
+      var dest = m.get(key)
+      if (dest == null || biType == BufferedImage.TYPE_CUSTOM) {
+        dest = spec.createBufferedImage(w, h)
+        if (biType != BufferedImage.TYPE_CUSTOM) m.put(key, dest)
+      }
+      val param = reader.getDefaultReadParam
+      param.setDestination(dest)
+      reader.read(0, param)
+    } finally iis.close()
+  }
 
   def pixels(img: BufferedImage): Array[Int] =
     img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
+  /** Hot-path pixels into a per-thread reused buffer — invalidated by
+    * this thread's next pixelsReused call of the same size. NEVER use
+    * where two buffers must be live at once (e.g. PSNR). */
+  def pixelsReused(img: BufferedImage): Array[Int] = {
+    val n = img.getWidth * img.getHeight
+    img.getRGB(0, 0, img.getWidth, img.getHeight,
+      decodePool.acquire(n), 0, img.getWidth)
+  }
 
   /** 64-bit aHash: 8x8 box-downsample of luma, bit = above mean.
     * Bit order fixed (row-major, bit 63 = top-left). */

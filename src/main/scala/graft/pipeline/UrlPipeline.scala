@@ -61,7 +61,9 @@ object UrlPipeline {
       }
     }
 
-    val decodedPixels = ImageCodec.pixels(ImageCodec.decode(payload.bytes))
+    // reused per-thread image + pixel buffer: consumed by phash64
+    // immediately, nothing escapes this call
+    val decodedPixels = ImageCodec.pixelsReused(ImageCodec.decodeReused(payload.bytes))
     val phash = ImageCodec.phash64(payload.w, payload.h, decodedPixels)
     val caption = pieceRows.filter(_.good).map(_.caption).mkString(" ")
     val media = MediaRow(id, payload.bytes, payload.w, payload.h,

@@ -163,17 +163,76 @@ object Embed {
        |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
        |FROM buckets GROUP BY bucket""".stripMargin
 
+  /** Embedding-cosine near-dup pairs — the ANN near-dup operator shape:
+    * candidates come ONLY from LSH-bucket collisions (q29's hyperplane
+    * buckets — never all-pairs), then the exact quantized cosine
+    * verifies each candidate. At 100 TB the pair join is bounded by
+    * bucket occupancy (add planes to shrink buckets); the verify is one
+    * integer dot product per surviving pair. Threshold 0.2 marks the
+    * "most similar" tail of this synthetic corpus (max pairwise cosine
+    * ≈ 0.4 — random embeddings have no true dups; real corpora would
+    * use ~0.95 with the identical plan). */
+  def q40EmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).withColumn("q", qvec(col("embedding")))
+    val wLit = typedLit(lshWeights)
+    val buckets = e.withColumn("p", explode(sequence(lit(0), lit(7))))
+      .withColumn("proj",
+        aggregate(
+          zip_with(col("q"), element_at(wLit, col("p") + 1), (x, w) => x * w),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("bit", when(col("proj") >= 0, lit(1)).otherwise(lit(0)))
+      .groupBy("vec_id")
+      .agg(sum(expr("cast(bit as bigint) << p")).as("bucket"))
+    val a = buckets.select(col("vec_id").as("vec_a"), col("bucket"))
+    val b = buckets.select(col("vec_id").as("vec_b"), col("bucket"))
+    val qv = e.select(col("vec_id"), col("q"), qnorm(col("q")).as("nrm"))
+    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .join(qv.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na")), "vec_a")
+      .join(qv.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos_sim",
+        qdot(col("qa"), col("qb")).cast("double") / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= 0.2)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  val q40Sql: String =
+    s"""WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, p,
+       |    list_sum(list_transform(generate_series(0, len(qv) - 1),
+       |      i -> qv[i + 1] * (CASE WHEN ${h60Sql("concat(cast(p as varchar), '|', cast(i as varchar))")} % 2 = 1
+       |                        THEN 1 ELSE -1 END))) AS proj
+       |  FROM q, (SELECT unnest(generate_series(0, 7)) AS p)),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    cast(sum(cast((CASE WHEN proj >= 0 THEN 1 ELSE 0 END) as bigint) << p) as bigint) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |cos AS (
+       |  SELECT vec_a, vec_b,
+       |    cast(list_dot_product(x.qv, y.qv) as double) /
+       |      (sqrt(cast(list_dot_product(x.qv, x.qv) as double)) *
+       |       sqrt(cast(list_dot_product(y.qv, y.qv) as double))) AS cos_sim
+       |  FROM pairs JOIN q x ON x.vec_id = vec_a JOIN q y ON y.vec_id = vec_b)
+       |SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
+       |FROM cos WHERE cos_sim >= 0.2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q26_embed_norm"  -> q26EmbedNorm _,
-    "q27_cosine_topk" -> q27CosineTopK _,
-    "q28_ivf_assign"  -> q28IvfAssign _,
-    "q29_embed_lsh"   -> q29EmbedLsh _,
+    "q26_embed_norm"    -> q26EmbedNorm _,
+    "q27_cosine_topk"   -> q27CosineTopK _,
+    "q28_ivf_assign"    -> q28IvfAssign _,
+    "q29_embed_lsh"     -> q29EmbedLsh _,
+    "q40_embed_neardup" -> q40EmbedNearDup _,
   )
 
   val oracle: Map[String, String] = Map(
-    "q26_embed_norm"  -> q26Sql,
-    "q27_cosine_topk" -> q27Sql,
-    "q28_ivf_assign"  -> q28Sql,
-    "q29_embed_lsh"   -> q29Sql,
+    "q26_embed_norm"    -> q26Sql,
+    "q27_cosine_topk"   -> q27Sql,
+    "q28_ivf_assign"    -> q28Sql,
+    "q29_embed_lsh"     -> q29Sql,
+    "q40_embed_neardup" -> q40Sql,
   )
 }

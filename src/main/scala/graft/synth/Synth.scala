@@ -178,7 +178,9 @@ object Synth {
       val w = dims((nn(s"w:$seed:$f") % 3).toInt)
       val h = dims((nn(s"h:$seed:$f") % 3).toInt)
       val fmt = if (unit(s"fmt:$seed:$f") < 0.5) "png" else "jpg"
-      val px = ImageCodec.synthPixels(w, h, Hashing.xx64(s"px:$seed:$f"))
+      // reused per-thread buffer: consumed by encode() before this
+      // thread can synth the next image — single-consumer, safe
+      val px = ImageCodec.synthPixelsReused(w, h, Hashing.xx64(s"px:$seed:$f"))
       val bytes = ImageCodec.encode(ImageCodec.toImage(w, h, px), fmt)
       val ws = words(f, seed)
       val cs = cues(f, seed, ws)

@@ -177,13 +177,26 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String) {
       val parts = Files.list(tmp).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
         .sortBy(_.getFileName.toString)
-      parts.zipWithIndex.map { case (p, i) =>
+      val moved = parts.zipWithIndex.map { case (p, i) =>
         val name = f"snap-$snapId%06d-$kind-part-$i%05d.parquet"
         val dest = dataDir.resolve(name)
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-        val (rows, minK, maxK) = footerStats(dest)
-        FileEntry(s"data/$name", kind, deltaSeq, rows, Files.size(dest), minK, maxK)
+        (name, dest)
       }
+      // footer reads are independent metadata IO — serial reads were a
+      // measurable slice of the per-batch fixed cost at 32-file commits
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, math.max(1, moved.size)))
+      try {
+        moved.map { case (name, dest) =>
+          pool.submit(new java.util.concurrent.Callable[FileEntry] {
+            override def call(): FileEntry = {
+              val (rows, minK, maxK) = footerStats(dest)
+              FileEntry(s"data/$name", kind, deltaSeq, rows, Files.size(dest), minK, maxK)
+            }
+          })
+        }.map(_.get())
+      } finally pool.shutdown()
     } finally {
       // clean any leftovers (_SUCCESS, crc files, the dir itself)
       Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
