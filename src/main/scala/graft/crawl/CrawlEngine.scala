@@ -255,7 +255,9 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       if (nOk > 0) phase("payload-commit") {
         payload.commitUpsert(processed.filter(_.ok)
           .map(p => PayloadRow(p.image_id, p.bytes, p.w, p.h, p.fmt,
-            p.caption, p.phash, p.pieces, p.speech_duration_sec,
+            p.caption, p.phash,
+            bytes_md5 = graft.util.Hashing.md5OfHex(p.bytes),
+            p.pieces, p.speech_duration_sec,
             p.subs_quality, p.utilization_rate, p.good_pieces,
             p.total_pieces))
           .toDF()

@@ -54,12 +54,16 @@ object Flagship {
   def crawlOrder(spark: SparkSession, sfDir: String): DataFrame =
     engine(spark, sfDir).committedOrder
 
+  /** bytes_md5 is the STORED checksum (S12) — the DuckDB oracle
+    * recomputes md5(hex(bytes)) from the dumped payload and the hash
+    * compare IS the verified-copy audit. */
   def crawlMedia(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    engine(spark, sfDir).media
+    engine(spark, sfDir).payloadDf
       .select(col("image_id"), col("w"), col("h"), col("fmt"),
         col("caption"), col("phash"),
-        length(col("bytes")).cast("long").as("n_bytes")) // bigint = octet_length dtype
+        length(col("bytes")).cast("long").as("n_bytes"), // bigint = octet_length dtype
+        col("bytes_md5"))
   }
 
   def crawlStats(spark: SparkSession, sfDir: String): DataFrame =

@@ -120,6 +120,11 @@ final case class PayloadRow(
     fmt: String,
     caption: String,
     phash: Long,
+    // S12 verified-copy checksum: md5 of the UPPERCASE hex of bytes —
+    // a form every engine can recompute (DuckDB md5 only takes
+    // VARCHAR); the q31 oracle re-derives it from the dumped bytes and
+    // hash-compares against this stored value = the copy audit
+    bytes_md5: String,
     pieces: Seq[PieceRow],
     speech_duration_sec: Double,
     subs_quality: Double,

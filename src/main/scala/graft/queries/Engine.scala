@@ -46,10 +46,14 @@ object Engine {
        |WHERE state IN ('processed', 'failed') AND processedAt >= 0
        |ORDER BY batchNo, priority, seq""".stripMargin
 
+  /** n_bytes AND bytes_md5 are re-derived from the dumped bytes — the
+    * md5 compare against the engine's STORED checksum is the S12
+    * verified-copy audit, run by the driver's independent engine. */
   val q31Sql: String =
     s"""WITH p AS (${resolved("dump_payload_raw", "image_id")})
        |SELECT image_id, w, h, fmt, caption, phash,
-       |  octet_length(bytes) AS n_bytes
+       |  octet_length(bytes) AS n_bytes,
+       |  md5(hex(bytes)) AS bytes_md5
        |FROM p""".stripMargin
 
   val q32Sql: String =

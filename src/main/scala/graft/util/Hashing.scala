@@ -64,6 +64,27 @@ object Hashing {
     if (j < 0) rest else rest.substring(0, j)
   }
 
+  private val HexUpper = "0123456789ABCDEF".toCharArray
+
+  /** md5 (lowercase hex) of the UPPERCASE-hex rendering of `bytes` —
+    * the cross-engine payload checksum (S12): Spark twin
+    * `md5(hex(col))`, DuckDB twin `md5(hex(bytes))` (both engines'
+    * hex-of-binary is uppercase; DuckDB's md5 only takes VARCHAR). */
+  def md5OfHex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      sb.append(HexUpper((b >> 4) & 0xf)); sb.append(HexUpper(b & 0xf))
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val out = new java.lang.StringBuilder(32)
+    d.foreach(b => out.append(f"${b & 0xff}%02x"))
+    out.toString
+  }
+
   /** Column twin of `canonicalize` — builtins only (codegen'd). */
   def canonicalizeCol(c: Column): Column = {
     val t = trim(c)

@@ -56,6 +56,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Broadcast"), plan)
   }
 
+  test("NO query plans an unpartitioned window (the single-task scale-killer)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.sparkPlan
+      val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty,
+        s"$name funnels data through one task:\n${bad.mkString("\n")}")
+    }
+  }
+
+  test("LSH pair joins never degrade to cartesian/nested-loop products") {
+    Seq("q21_ngram_jaccard", "q23_minhash_lsh", "q35_phash_neardup",
+        "q40_embed_neardup").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an all-pairs join:\n$plan")
+    }
+  }
+
   test("hamming64 keeps whole-stage codegen in the near-dup filter") {
     import graft.functions.Hamming64.hamming64
     val df = spark.read.parquet(s"$sf/lineitem.parquet")

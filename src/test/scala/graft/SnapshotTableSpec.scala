@@ -61,6 +61,41 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.currentManifest.get.files.forall(_.kind == "base"))
   }
 
+  test("crash between manifest write and CURRENT rename leaves the old snapshot live") {
+    import spark.implicits._
+    val dir = freshDir()
+    val t = new SnapshotTable(spark, dir, "k")
+    t.commitAppend(Seq((1L, "a")).toDF("k", "v"))
+    // simulate the crash window: a fully-written next manifest exists,
+    // but CURRENT was never flipped (the protocol's only unsafe gap is
+    // handled by atomic rename — reads must keep serving snapshot 0)
+    val snapDir = java.nio.file.Paths.get(dir, "snapshots")
+    val m0 = Files.readString(snapDir.resolve("snap-000000.json"))
+    Files.writeString(snapDir.resolve("snap-000001.json"),
+      m0.replace("\"id\":0", "\"id\":1"))
+    assert(t.currentId === Some(0L))
+    assert(t.read().as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    // a later writer (restart) continues from CURRENT
+    t.commitUpsert(Seq((1L, "b")).toDF("k", "v"))
+    assert(t.read().as[(Long, String)].collect().toSeq === Seq((1L, "b")))
+  }
+
+  test("readRaw + latest-wins re-derivation equals read() (the oracle contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val t = new SnapshotTable(spark, freshDir(), "k")
+    t.commitAppend((1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.commitUpsert(Seq((3L, "x"), (11L, "n")).toDF("k", "v"))
+    t.commitUpsert(Seq((3L, "y"), (5L, "z")).toDF("k", "v"))
+    val w = Window.partitionBy("k").orderBy(col("__delta_seq").desc)
+    val rederived = t.readRaw()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val direct = t.read().as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rederived === direct)
+  }
+
   test("empty-table read after schema-bearing commit works") {
     import spark.implicits._
     val t = new SnapshotTable(spark, freshDir(), "k")
