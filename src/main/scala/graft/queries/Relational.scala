@@ -274,7 +274,38 @@ object Relational {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_total
       |FROM orders""".stripMargin
 
+  /** Sessionization (the §2.10 operator in batch form): per-user
+    * 30-minute-gap sessions via a key-partitioned lag window — the
+    * exact batch twin of `EventStream.sessionCounts`
+    * (mapGroupsWithState); StreamingExportSpec asserts the streaming
+    * state machine's final answer equals this query, and DuckDB checks
+    * this query — so the streaming operator is transitively
+    * oracle-verified. */
+  def q41SessionWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tss")
+    events(s, d)
+      // ts is TIMESTAMP_NTZ in the parquet; route via TIMESTAMP (session
+      // tz = UTC) → epoch seconds, matching DuckDB's epoch(ts)
+      .select(col("user_id"), col("ts").cast("timestamp").cast("long").as("tss"))
+      .withColumn("prev", lag("tss", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tss") - col("prev") > 1800, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("is_new").as("n_sessions"))
+  }
+
+  val q41Sql: String =
+    """WITH e AS (SELECT user_id, cast(epoch(ts) as bigint) AS tss FROM events),
+      |s AS (SELECT user_id,
+      |        CASE WHEN lag(tss) OVER (PARTITION BY user_id ORDER BY tss) IS NULL
+      |               OR tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss) > 1800
+      |             THEN 1 ELSE 0 END AS is_new
+      |      FROM e)
+      |SELECT user_id, count(*) AS n_events, cast(sum(is_new) as bigint) AS n_sessions
+      |FROM s GROUP BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_session_window"   -> q41SessionWindow _,
     "q15_regex_extract"    -> q15RegexExtract _,
     "q38_running_sum"      -> q38RunningSum _,
     "q01_group_agg"        -> q01GroupAgg _,
@@ -294,6 +325,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q41_session_window"   -> q41Sql,
     "q15_regex_extract"    -> q15Sql,
     "q38_running_sum"      -> q38Sql,
     "q01_group_agg"        -> q01Sql,

@@ -31,7 +31,7 @@ class StreamingExportSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(batch(k) === v, s"window $k") }
   }
 
-  test("streaming session counts with mapGroupsWithState run and are sane") {
+  test("streaming mapGroupsWithState sessionization == batch q41 (which DuckDB checks)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evsess")
     java.nio.file.Files.copy(
@@ -45,6 +45,19 @@ class StreamingExportSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.n_sessions >= 1 && r.n_sessions <= r.n_events)
+    }
+    // the final streaming state per user must equal the batch session
+    // window q41 — the query the driver's DuckDB oracle verifies, so
+    // the streaming operator is transitively oracle-checked
+    val streamed = rows.groupBy(_.user_id)
+      .map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+    val batch = SparkEntry.queries("q41_session_window")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(batch.keySet === streamed.keySet)
+    batch.foreach { case (u, (ne, ns)) =>
+      val s = streamed(u)
+      assert(s.n_events === ne && s.n_sessions === ns, s"user $u")
     }
   }
 
