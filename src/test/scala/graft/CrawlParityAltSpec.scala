@@ -46,4 +46,21 @@ class CrawlParityAltSpec extends AnyFunSuite {
     val wantCaps = oracle.media.map(m => m.image_id -> m.caption).toMap
     assert(gotCaps === wantCaps)
   }
+
+  test("fuzz config: a third independent (seed, shape) still byte-matches") {
+    import spark.implicits._
+    val fuzz = CrawlConfig(seed = 1337L, nHosts = 7, universe = 120,
+      batchSize = 37, batchMs = 300000L, nShards = 3, targetPerTask = 8,
+      seenMode = "auto")
+    val dir = Files.createTempDirectory("crawlparityfuzz").toString
+    val e = new CrawlEngine(spark, dir, fuzz)
+    e.init(60)
+    e.drain()
+    val o = RefOracle.run(60, fuzz)
+    val got = e.committedOrder.as[CrawlRecord].collect().toSeq
+      .sortBy(r => (r.batchNo, r.priority, r.seq))
+    val want = o.log.sortBy(r => (r.batchNo, r.priority, r.seq))
+    assert(got === want)
+    assert(e.seenSet.as[Long].collect().sorted.toSeq === o.seen)
+  }
 }
