@@ -169,13 +169,18 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     val shardSnapshot =
       if (seen.useJoinPath) None else Some(seen.snapshotBytes())
     val firstOcc = Frontier.firstOccurrence(entries)
-    val probed = seen.probe(firstOcc, shardSnapshot)
+    // cache: dedupGate consumes `probed` through two filter branches
+    // (definitely-new ∪ verify), which would otherwise evaluate the
+    // probe lineage twice — on the join path that means re-running the
+    // candidate shuffle + shard cogroup per branch
+    val probed = seen.probe(firstOcc, shardSnapshot).cache()
     val keys = existingKeys.getOrElse {
       if (frontier.currentId.isEmpty) spark.emptyDataset[Long].toDF("fp")
       else frontier.read().select("fp")
     }
     val fresh = Frontier.dedupGate(probed, keys).cache()
     val n = fresh.count()
+    probed.unpersist()
     if (n > 0) {
       seen.insert(fresh.select("fp"), Map("batch" -> batchNo.toDouble), shardSnapshot)
       // coalesce: a few-thousand-row append across 32 shuffle partitions

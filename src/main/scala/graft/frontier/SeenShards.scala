@@ -44,8 +44,6 @@ final class SeenShards(spark: SparkSession, table: SnapshotTable,
   val JoinThresholdBytes: Long = 64L << 20
 
   private def shardOf = pmod(col("fp"), lit(nShards)).cast("int")
-  private def shardOfFp(fp: Long): Int =
-    java.lang.Math.floorMod(fp, nShards.toLong).toInt
 
   /** Manifest-level size estimate — zero Spark jobs. */
   private def tableBytes: Long =
@@ -96,10 +94,14 @@ final class SeenShards(spark: SparkSession, table: SnapshotTable,
       .groupByKey(fp => java.lang.Math.floorMod(fp, nS.toLong).toInt)
     val shards = shardRows.groupByKey(_._1)
     val verdicts = cands.cogroup(shards) { (_, fps, filters) =>
+      // one verdict PER DISTINCT fp — duplicate candidate fps would
+      // otherwise fan out k×k through the rejoin, diverging from the
+      // broadcast path's exactly-k rows
+      val distinctFps = fps.toArray.distinct
       val f = filters.buffered.headOption.map(t => CuckooFilter.deserialize(t._2))
       f match {
-        case None     => fps.map(fp => (fp, false))
-        case Some(cf) => fps.map(fp => (fp, cf.mightContain(fp)))
+        case None     => distinctFps.iterator.map(fp => (fp, false))
+        case Some(cf) => distinctFps.iterator.map(fp => (fp, cf.mightContain(fp)))
       }
     }.toDF("fp", "maybeSeen")
     candidates.join(verdicts, Seq("fp"))

@@ -36,11 +36,15 @@ object CueParser {
     val m = t.substring(c1 + 1, c2).toLong
     val rest = t.substring(c2 + 1)
     // the separator before ms is any char (dot-any regex) — find the
-    // first non-digit
+    // first non-digit. The regex also admits all-digit rests (the
+    // dot-any backtracks onto a digit, e.g. "<0:00:0123>"); parse those
+    // as seconds with 0 ms instead of crashing the executor task.
     var di = 0
     while (di < rest.length && rest.charAt(di).isDigit) di += 1
     val s = rest.substring(0, di).toLong
-    val ms = rest.substring(di + 1).toLong
+    val ms =
+      if (di >= rest.length - 1) 0L // no separator, or separator is last
+      else rest.substring(di + 1).toLong
     h * 3600000L + m * 60000L + s * 1000L + ms
   }
 

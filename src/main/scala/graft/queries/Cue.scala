@@ -22,7 +22,9 @@ object Cue {
     import s.implicits._
     Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
       .flatMap { case (docId, text) =>
-        val toks0 = text.trim.toLowerCase.split("\\s+")
+        // Locale.ROOT: DuckDB's lower() is locale-independent; default-
+        // locale toLowerCase would diverge on e.g. tr/az JVMs ('I'→'ı')
+        val toks0 = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
         if (toks0.length < 2) Iterator.empty
         else {
           val w = toks0.take(8)

@@ -184,19 +184,17 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String) {
         (name, dest)
       }
       // footer reads are independent metadata IO — serial reads were a
-      // measurable slice of the per-batch fixed cost at 32-file commits
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, math.max(1, moved.size)))
-      try {
-        moved.map { case (name, dest) =>
-          pool.submit(new java.util.concurrent.Callable[FileEntry] {
-            override def call(): FileEntry = {
-              val (rows, minK, maxK) = footerStats(dest)
-              FileEntry(s"data/$name", kind, deltaSeq, rows, Files.size(dest), minK, maxK)
-            }
-          })
-        }.map(_.get())
-      } finally pool.shutdown()
+      // measurable slice of the per-batch fixed cost at 32-file commits;
+      // the pool is shared (a crawl batch commits 5-6 times — per-commit
+      // pool churn would be thousands of short-lived threads per drain)
+      moved.map { case (name, dest) =>
+        SnapshotTable.footerPool.submit(new java.util.concurrent.Callable[FileEntry] {
+          override def call(): FileEntry = {
+            val (rows, minK, maxK) = footerStats(dest)
+            FileEntry(s"data/$name", kind, deltaSeq, rows, Files.size(dest), minK, maxK)
+          }
+        })
+      }.map(_.get())
     } finally {
       // clean any leftovers (_SUCCESS, crc files, the dir itself)
       Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
@@ -252,6 +250,19 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String) {
 }
 
 object SnapshotTable {
+
+  /** Shared daemon pool for manifest footer reads (driver-side
+    * metadata IO, bounded at 8 threads process-wide). */
+  private[table] lazy val footerPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"snapshot-footer-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
 
   final case class FileEntry(path: String, kind: String, deltaSeq: Long,
                              rows: Long, bytes: Long, minKey: String, maxKey: String)

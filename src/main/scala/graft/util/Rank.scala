@@ -26,7 +26,12 @@ object Rank {
     * Returns (ranked df, total row count) — callers that need the count
     * (positional split thresholds) get it for free from step 2.
     * The returned frame is materialization-stable: ranks depend only on
-    * the order key, not on partition boundaries. */
+    * the order key, not on partition boundaries.
+    *
+    * NOTE: construction is EAGER — the sort shuffle + count job run
+    * immediately (the offsets must exist before the plan can be built).
+    * Callers that only want the plan shape still pay one pass; every
+    * current call site executes the result anyway. */
   def withGlobalRank(df: DataFrame, order: Seq[Column], rankCol: String,
                      numParts: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession

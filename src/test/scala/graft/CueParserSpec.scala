@@ -51,6 +51,11 @@ class CueParserSpec extends AnyFunSuite {
   test("reference regex fidelity: dot-any separator in timecodes is accepted") {
     // the reference pattern <(\d+:\d+:\d+.\d+)> has an UNescaped dot
     assert(CueParser.timecodeMs("0:00:01,500") === 1500L) // comma separator
+    // the dot-any can backtrack onto a digit → all-digit rest; must not
+    // crash the executor task (parsed as seconds, 0 ms)
+    assert(CueParser.timecodeMs("0:00:0123") === 123000L)
+    assert(CueParser.parse(Seq(graft.model.RawCue(0, 200000,
+      "prev\nа<0:00:0123>б"))).nonEmpty)
   }
 
   test("synth cue round-trip: single-word cue reconstructs the word exactly; word set preserved") {

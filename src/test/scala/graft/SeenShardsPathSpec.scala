@@ -64,6 +64,17 @@ class SeenShardsPathSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate candidate fps probe to the same row count on both paths") {
+    import spark.implicits._
+    val (b, bTbl) = mk("broadcast", 4, 1 << 8)
+    b.insert(fps(77, 100).toDF("fp"))
+    val j = new SeenShards(spark, bTbl, 4, 1 << 8, "join")
+    // each fp appears 3 times — the rejoin must not fan out k×k
+    val dups = fps(78, 40).flatMap(f => Seq(f, f, f)).toDF("fp")
+    assert(b.probe(dups).count() === 120)
+    assert(j.probe(dups).count() === 120)
+  }
+
   test("auto mode switches to the join path only past the size threshold") {
     val (s, _) = mk("auto", 4, 1 << 8)
     assert(!s.useJoinPath) // empty table: broadcast is fine
