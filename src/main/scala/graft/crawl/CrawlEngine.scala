@@ -58,6 +58,10 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
   val frontier = new SnapshotTable(spark, s"$workDir/frontier", "fp")
   val payload  = new SnapshotTable(spark, s"$workDir/payload", "image_id")
   val seenTbl  = new SnapshotTable(spark, s"$workDir/seen", "shard")
+  /** The keyword-search queue — the reference's SECOND persistent queue
+    * (kwds_to_search / kwds_searched, utils/queue_utils.py:42-57),
+    * recast as one table with a state column like the frontier. */
+  val keywords = new SnapshotTable(spark, s"$workDir/keywords", "query")
   val seen     = new SeenShards(spark, seenTbl, cfg.nShards, cfg.shardBuckets,
     cfg.seenMode)
 
@@ -129,12 +133,43 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     enqueue(Frontier.toEntries(spark, withSeq, batchNo = 0L, cfg.seed), batchNo = 0L)
   }
 
-  /** Seed via the keyword-search queue (Q10 + S4): each query expands
-    * through bounded paginated search on the driver (mirrors the
-    * recursive nextPageToken scan), then enqueues with the dedup gate.
-    * Returns urls enqueued. */
-  def initFromSearch(queries: Seq[String]): Long = {
-    val expanded = queries.flatMap { q =>
+  /** Enqueue search queries into the persistent keyword queue (Q10,
+    * utils/queue_utils.py:42-57): dedup by query key (the reference's
+    * is-already-searched check), append as pending. Returns queries
+    * added. */
+  def enqueueSearches(qs: Seq[String]): Long = {
+    val base =
+      if (keywords.currentId.isEmpty || keywords.isEmpty) 0L
+      else keywords.read().agg(max("seq")).head.getLong(0) + 1
+    val entries = qs.distinct.zipWithIndex
+      .map { case (q, i) => (q, base + i, "pending") }
+    val df = spark.createDataset(entries).toDF("query", "seq", "state")
+    val existing =
+      if (keywords.currentId.isEmpty) spark.emptyDataset[String].toDF("query")
+      else keywords.read().select("query")
+    val fresh = df.join(existing, Seq("query"), "left_anti").cache()
+    val n = fresh.count()
+    if (n > 0) keywords.commitAppend(fresh)
+    fresh.unpersist()
+    n
+  }
+
+  /** Claim up to `k` pending queries (FIFO by seq — the reference's
+    * pop-first), expand each through the bounded paginated search
+    * (mirrors the recursive nextPageToken scan,
+    * yt_playlist_videos_parser.py:40-71), enqueue the urls through the
+    * standard dedup gate, and mark the queries `searched`. Returns
+    * (queriesSearched, urlsEnqueued). The expansion runs on the driver
+    * deliberately: it models a rate-limited remote API scan (50/page),
+    * not a data-parallel operator. */
+  def searchBatch(k: Int): (Long, Long) = {
+    if (keywords.currentId.isEmpty || keywords.isEmpty) return (0L, 0L)
+    val claimed = keywords.read()
+      .filter(col("state") === "pending")
+      .orderBy("seq").limit(k)
+      .select("query", "seq").as[(String, Long)].collect()
+    if (claimed.isEmpty) return (0L, 0L)
+    val expanded = claimed.sortBy(_._2).flatMap { case (q, _) =>
       Iterator.unfold(Option(0)) {
         case Some(page) =>
           val (urls, next) = Synth.searchPage(q, page, cfg.universe, cfg.nHosts, cfg.seed)
@@ -145,8 +180,27 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     val base = currentMaxSeq + 1
     val seeds = spark.createDataset(expanded.zipWithIndex.map { case (u, i) =>
       SeedUrl(u, Frontier.NormalPriority, base + i.toLong)
-    })
-    enqueue(Frontier.toEntries(spark, seeds, batchNo = 0L, cfg.seed), batchNo = 0L)
+    }.toSeq)
+    val n = enqueue(Frontier.toEntries(spark, seeds, batchNo = 0L, cfg.seed), batchNo = 0L)
+    keywords.commitUpsert(
+      spark.createDataset(claimed.map { case (q, s) => (q, s, "searched") }.toSeq)
+        .toDF("query", "seq", "state"))
+    (claimed.length.toLong, n)
+  }
+
+  /** Seed via the keyword-search queue end-to-end (Q10 + S4): enqueue
+    * the queries, then drain the keyword queue in claim batches.
+    * Returns urls enqueued. */
+  def initFromSearch(queries: Seq[String]): Long = {
+    enqueueSearches(queries)
+    var urls = 0L
+    var searched = -1L
+    while (searched != 0L) {
+      val (s, u) = searchBatch(k = 16)
+      searched = s
+      urls += u
+    }
+    urls
   }
 
   /** Recovery (Q9): processing → pending at RecoveryPriority. */

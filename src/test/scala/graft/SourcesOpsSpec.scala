@@ -42,6 +42,15 @@ class SourcesOpsSpec extends AnyFunSuite {
       CrawlConfig(universe = 500))
     val n = eng.initFromSearch(Seq("речь", "данные"))
     assert(n > 0 && n <= 2L * Synth.SearchMaxPages * Synth.SearchPageSize)
+    // the keyword queue is a persistent table: both queries terminal
+    import spark.implicits._
+    val states = eng.keywords.read().select("query", "state")
+      .as[(String, String)].collect().toMap
+    assert(states === Map("речь" -> "searched", "данные" -> "searched"))
+    // re-seeding the same queries is a no-op (dedup by query key)
+    assert(eng.enqueueSearches(Seq("речь", "данные")) === 0L)
+    val (s2, u2) = eng.searchBatch(16)
+    assert(s2 === 0L && u2 === 0L)
   }
 
   test("image ops: dims/resize/hist real, frame-sample stub deterministic") {
