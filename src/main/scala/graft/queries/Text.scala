@@ -110,11 +110,44 @@ object Text {
       |        t -> t IN ('table','row','column','batch'))) AS c_data
       |  FROM documents)""".stripMargin
 
+  /** BPE-ish regex tokenization (the GPT-2 pre-tokenizer shape,
+    * simplified to constructs Java regex and RE2 share — no lookahead):
+    * contraction suffixes | space?+letters | space?+digits |
+    * space?+punct-run. Token counts from this pattern approximate BPE
+    * token budgets well enough for corpus sizing, entirely map-side. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zа-яё]+| ?[0-9]+| ?[^\\sa-zа-яё0-9]+"
+
+  def q42BpeTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("pieces", regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+      .withColumn("n_bpe", size(col("pieces")).cast("long"))
+      .withColumn("n_ws", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .select(col("doc_id"), col("n_bpe"), col("n_ws"),
+        round(col("n_bpe").cast("double") / col("n_ws"), 6).as("bpe_per_word"),
+        coalesce(try_element_at(col("pieces"), lit(1)), lit("")).as("first_piece"))
+
+  /** The pattern starts with an apostrophe — double it for the SQL
+    * string literal (DuckDB strings are not backslash-escaped, so the
+    * regex backslashes pass through unchanged). */
+  private val BpePatternSql: String = BpePattern.replace("'", "''")
+
+  val q42Sql: String =
+    s"""SELECT doc_id, n_bpe, n_ws,
+       |  round(cast(n_bpe as double) / n_ws, 6) AS bpe_per_word,
+       |  coalesce(pieces[1], '') AS first_piece
+       |FROM (SELECT doc_id,
+       |    regexp_extract_all(lower(text), '$BpePatternSql') AS pieces,
+       |    len(regexp_extract_all(lower(text), '$BpePatternSql')) AS n_bpe,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_ws
+       |  FROM documents)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_text_clean"    -> q16TextClean _,
     "q17_token_stats"   -> q17TokenStats _,
     "q18_quality_score" -> q18QualityScore _,
     "q19_lang_id"       -> q19LangId _,
+    "q42_bpe_tokens"    -> q42BpeTokens _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -122,5 +155,6 @@ object Text {
     "q17_token_stats"   -> q17Sql,
     "q18_quality_score" -> q18Sql,
     "q19_lang_id"       -> q19Sql,
+    "q42_bpe_tokens"    -> q42Sql,
   )
 }
