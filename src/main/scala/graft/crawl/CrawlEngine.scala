@@ -35,6 +35,21 @@ final case class CrawlConfig(
     compactEvery: Int = 4,
     seenMode: String = "auto") // seen-set path: broadcast | join | auto
 
+object CrawlEngine {
+  /** One background lane for the payload commit (it overlaps the
+    * discovery/enqueue chain each batch; both only read the cached
+    * processed dataset). Daemon so JVM exit is never held up. */
+  private[crawl] lazy val commitPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(1,
+      new java.util.concurrent.ThreadFactory {
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "crawl-payload-commit")
+          t.setDaemon(true)
+          t
+        }
+      })
+}
+
 /** The iterative micro-batch crawl driver (C2, parse_youtube.py:20-54
   * recast): claim → fetch/process → commit, until the frontier drains.
   * Exactly 2 data shuffles per iteration (claim window + salted
@@ -308,21 +323,33 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // reprocesses them — the payload UPSERT (keyed by image_id)
       // replays to identical content, and re-discovered links are
       // dropped by the dedup gate. Nothing is ever lost or duplicated.
+      // The payload commit and the discovery/enqueue chain touch
+      // DIFFERENT tables and both read only the cached `processed`
+      // dataset, so they run CONCURRENTLY; the await before the
+      // terminal commit preserves the ordering invariant. (Within the
+      // enqueue chain itself, seen-insert must stay BEFORE the frontier
+      // append: the filter must be a superset of frontier keys or a
+      // crash between them turns the tier-1 fast path into duplicate
+      // appends.)
 
       // single payload commit (media + pieces + stats in one table;
       // bytes column prunes away for queries not touching it)
-      if (nOk > 0) phase("payload-commit") {
-        payload.commitUpsert(processed.filter(_.ok)
-          .map(p => PayloadRow(p.image_id, p.bytes, p.w, p.h, p.fmt,
-            p.caption, p.phash,
-            bytes_md5 = graft.util.Hashing.md5OfHex(p.bytes),
-            p.pieces, p.speech_duration_sec,
-            p.subs_quality, p.utilization_rate, p.good_pieces,
-            p.total_pieces))
-          .toDF()
-          .coalesce(8),
-          Map("batch" -> batchNo.toDouble))
-      }
+      val payloadFuture: java.util.concurrent.Future[_] =
+        if (nOk == 0) null
+        else CrawlEngine.commitPool.submit(new Runnable {
+          override def run(): Unit = phase("payload-commit") {
+            payload.commitUpsert(processed.filter(_.ok)
+              .map(p => PayloadRow(p.image_id, p.bytes, p.w, p.h, p.fmt,
+                p.caption, p.phash,
+                bytes_md5 = graft.util.Hashing.md5OfHex(p.bytes),
+                p.pieces, p.speech_duration_sec,
+                p.subs_quality, p.utilization_rate, p.good_pieces,
+                p.total_pieces))
+              .toDF()
+              .coalesce(8),
+              Map("batch" -> batchNo.toDouble))
+          }
+        })
 
       // discovered links → next frontier rows (seed-expansion S4):
       // first-occurrence order inside the batch is (parent seq, idx)
@@ -341,6 +368,11 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
         .select("url", "priority", "seq").as[SeedUrl]
       phase("enqueue")(enqueue(Frontier.toEntries(spark, discoveredSeeds, batchNo, cfg.seed),
         batchNo, existingKeys = Some(f.select("fp"))))
+
+      // join the concurrent payload commit BEFORE the terminal flip
+      // (exceptions surface here, so a failed payload write still
+      // leaves rows in `processing` for resume())
+      if (payloadFuture != null) payloadFuture.get()
 
       // terminal frontier states; processedAt doubles as the crawl log
       phase("terminal-commit")(frontier.commitUpsert(
