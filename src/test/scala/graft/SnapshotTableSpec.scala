@@ -96,6 +96,49 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(rederived === direct)
   }
 
+  test("fuzz: 40 random commit/compact/expire interleavings match a model map (3 seeds)") {
+    import spark.implicits._
+    (0 until 3).foreach { trial =>
+      val r = new scala.util.Random(trial * 7 + 1)
+      val t = new SnapshotTable(spark, freshDir(), "k")
+      val model = scala.collection.mutable.HashMap.empty[Long, String]
+      var appended = false
+      (0 until 40).foreach { step =>
+        val op = r.nextInt(10)
+        if (!appended || op < 2) {
+          // append NEW keys only (the engine's contract: appends are
+          // gated to unseen keys)
+          val base = model.keys.foldLeft(0L)(math.max) + 1
+          val rows = (0 until 1 + r.nextInt(5)).map(i => (base + i, s"a$step-$i"))
+          rows.foreach { case (k, v) => model(k) = v }
+          t.commitAppend(rows.toDF("k", "v"))
+          appended = true
+        } else if (op < 7 && model.nonEmpty) {
+          val keys = model.keys.toSeq.sorted
+          val rows = (0 until 1 + r.nextInt(3))
+            .map(_ => keys(r.nextInt(keys.size)))
+            .distinct.map(k => (k, s"u$step-$k"))
+          rows.foreach { case (k, v) => model(k) = v }
+          t.commitUpsert(rows.toDF("k", "v"))
+        } else if (op < 9) {
+          t.compactIfNeeded(maxDeltaFiles = 3)
+        } else {
+          t.expire(keepLast = 4)
+        }
+      }
+      val got = t.read().as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got === model.toSeq.sortBy(_._1), s"trial $trial diverged")
+      // the raw dump re-derivation must agree too (oracle contract)
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("k").orderBy(col("__delta_seq").desc)
+      val raw = t.readRaw().withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("k", "v")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(raw === got, s"trial $trial raw re-derivation diverged")
+    }
+  }
+
   test("empty-table read after schema-bearing commit works") {
     import spark.implicits._
     val t = new SnapshotTable(spark, freshDir(), "k")
