@@ -85,9 +85,10 @@ object Bench {
     val drainDir = s"/tmp/graft_bench_drain_$cpus"
     rmrf(drainDir)
     val drainBatch = sys.env.getOrElse("SPARK_GRAFT_DRAIN_BATCH", "8192").toInt
+    val seenMode = sys.env.getOrElse("SPARK_GRAFT_SEEN_MODE", "auto")
     val s2 = session(cpus)
     val eng = new graft.crawl.CrawlEngine(s2, drainDir,
-      graft.crawl.CrawlConfig(batchSize = drainBatch))
+      graft.crawl.CrawlConfig(batchSize = drainBatch, seenMode = seenMode))
     val d0 = System.nanoTime()
     eng.init(drainSeeds)
     val (batches, processed) = eng.drain()
