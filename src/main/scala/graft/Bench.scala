@@ -149,7 +149,7 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      f""""frontier_drain":{"seeds":$drainSeeds,"urls_processed":$processed,"batches":$batches,"wall_sec":$drainWall%.3f,"urls_per_sec":${processed / drainWall}%.1f,"fresh_session":true},""" +
+      f""""frontier_drain":{"seeds":$drainSeeds,"urls_processed":$processed,"batches":$batches,"wall_sec":$drainWall%.3f,"urls_per_sec":${processed / drainWall}%.1f,"fresh_session":true,"seen_mode":"$seenMode","drain_batch":$drainBatch,"skip_queries":$skipQueries},""" +
       f""""scaling":{"job":"fetch+process $scaleN urls",""" +
       f""""wall_local4":$wall4%.3f,"wall_local16":$wall16%.3f,"efficiency_4_to_16":$eff416%.3f,""" +
       f""""wall_local8":$wall8%.3f,"wall_local32":$wall32%.3f,"efficiency_8_to_32":$eff832%.3f,""" +

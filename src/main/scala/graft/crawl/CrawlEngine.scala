@@ -35,21 +35,6 @@ final case class CrawlConfig(
     compactEvery: Int = 4,
     seenMode: String = "auto") // seen-set path: broadcast | join | auto
 
-object CrawlEngine {
-  /** One background lane for the payload commit (it overlaps the
-    * discovery/enqueue chain each batch; both only read the cached
-    * processed dataset). Daemon so JVM exit is never held up. */
-  private[crawl] lazy val commitPool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newFixedThreadPool(1,
-      new java.util.concurrent.ThreadFactory {
-        override def newThread(r: Runnable): Thread = {
-          val t = new Thread(r, "crawl-payload-commit")
-          t.setDaemon(true)
-          t
-        }
-      })
-}
-
 /** The iterative micro-batch crawl driver (C2, parse_youtube.py:20-54
   * recast): claim → fetch/process → commit, until the frontier drains.
   * Exactly 2 data shuffles per iteration (claim window + salted
@@ -69,6 +54,21 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
                         cfg: CrawlConfig = CrawlConfig()) {
 
   import spark.implicits._
+
+  /** Per-ENGINE background lane for the payload commit (it overlaps the
+    * discovery/enqueue chain each batch; both only read the cached
+    * processed dataset). Instance-scoped so concurrent engines in one
+    * JVM never serialize or inherit each other's commits; daemon so JVM
+    * exit is never held up. */
+  private val commitPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(1,
+      new java.util.concurrent.ThreadFactory {
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"crawl-payload-commit-${System.identityHashCode(CrawlEngine.this)}")
+          t.setDaemon(true)
+          t
+        }
+      })
 
   val frontier = new SnapshotTable(spark, s"$workDir/frontier", "fp")
   val payload  = new SnapshotTable(spark, s"$workDir/payload", "image_id")
@@ -153,19 +153,25 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     * is-already-searched check), append as pending. Returns queries
     * added. */
   def enqueueSearches(qs: Seq[String]): Long = {
-    val base =
-      if (keywords.currentId.isEmpty || keywords.isEmpty) 0L
-      else keywords.read().agg(max("seq")).head.getLong(0) + 1
+    // one table read serves both the max-seq lookup and the dedup gate
+    val existing =
+      if (keywords.currentId.isEmpty || keywords.isEmpty) None
+      else Some(keywords.read().select("query", "seq").cache())
+    val base = existing.map { df =>
+      val m = df.agg(max("seq")).head
+      if (m.isNullAt(0)) 0L else m.getLong(0) + 1
+    }.getOrElse(0L)
     val entries = qs.distinct.zipWithIndex
       .map { case (q, i) => (q, base + i, "pending") }
     val df = spark.createDataset(entries).toDF("query", "seq", "state")
-    val existing =
-      if (keywords.currentId.isEmpty) spark.emptyDataset[String].toDF("query")
-      else keywords.read().select("query")
-    val fresh = df.join(existing, Seq("query"), "left_anti").cache()
+    val fresh = existing match {
+      case None    => df.cache()
+      case Some(e) => df.join(e.select("query"), Seq("query"), "left_anti").cache()
+    }
     val n = fresh.count()
     if (n > 0) keywords.commitAppend(fresh)
     fresh.unpersist()
+    existing.foreach(_.unpersist())
     n
   }
 
@@ -184,7 +190,8 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       .orderBy("seq").limit(k)
       .select("query", "seq").as[(String, Long)].collect()
     if (claimed.isEmpty) return (0L, 0L)
-    val expanded = claimed.sortBy(_._2).flatMap { case (q, _) =>
+    // claimed is already FIFO: orderBy("seq").limit(k).collect()
+    val expanded = claimed.flatMap { case (q, _) =>
       Iterator.unfold(Option(0)) {
         case Some(page) =>
           val (urls, next) = Synth.searchPage(q, page, cfg.universe, cfg.nHosts, cfg.seed)
@@ -200,6 +207,10 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     keywords.commitUpsert(
       spark.createDataset(claimed.map { case (q, s) => (q, s, "searched") }.toSeq)
         .toDF("query", "seq", "state"))
+    // same table hygiene as the crawl tables: bound read amplification
+    // and snapshot accumulation over long keyword drains
+    if (keywords.compactIfNeeded(maxDeltaFiles = 6).isDefined)
+      keywords.expire(keepLast = 8)
     (claimed.length.toLong, n)
   }
 
@@ -275,6 +286,8 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     if (frontier.currentId.isEmpty) return 0L // never initialized
     val f = frontier.read().cache()
     var claimed: DataFrame = null
+    var payloadFuture: java.util.concurrent.Future[_] = null
+    var payloadJoined = false
     try {
       val pending = f.filter(col("state") === FrontierState.Pending)
       claimed = Frontier.claimBySynthPolicy(pending, cfg.seed,
@@ -334,9 +347,9 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
 
       // single payload commit (media + pieces + stats in one table;
       // bytes column prunes away for queries not touching it)
-      val payloadFuture: java.util.concurrent.Future[_] =
+      payloadFuture =
         if (nOk == 0) null
-        else CrawlEngine.commitPool.submit(new Runnable {
+        else commitPool.submit(new Runnable {
           override def run(): Unit = phase("payload-commit") {
             payload.commitUpsert(processed.filter(_.ok)
               .map(p => PayloadRow(p.image_id, p.bytes, p.w, p.h, p.fmt,
@@ -372,7 +385,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // join the concurrent payload commit BEFORE the terminal flip
       // (exceptions surface here, so a failed payload write still
       // leaves rows in `processing` for resume())
-      if (payloadFuture != null) payloadFuture.get()
+      if (payloadFuture != null) { payloadFuture.get(); payloadJoined = true }
 
       // terminal frontier states; processedAt doubles as the crawl log
       phase("terminal-commit")(frontier.commitUpsert(
@@ -398,6 +411,16 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
         payload.expire(keepLast = 8)
       nClaimed
     } finally {
+      // an enqueue failure between submit and get() must not orphan the
+      // in-flight payload commit: await it so (a) its own failure is
+      // observed rather than swallowed, (b) the batch never exits with
+      // a write still mutating the payload table behind its back
+      if (payloadFuture != null && !payloadJoined) {
+        try payloadFuture.get()
+        catch { case e: Throwable =>
+          System.err.println(s"[crawl] payload commit failed during batch abort: $e")
+        }
+      }
       f.unpersist()
       if (claimed != null) claimed.unpersist()
     }

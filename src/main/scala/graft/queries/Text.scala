@@ -111,18 +111,21 @@ object Text {
       |  FROM documents)""".stripMargin
 
   /** BPE-ish regex tokenization (the GPT-2 pre-tokenizer shape,
-    * simplified to constructs Java regex and RE2 share — no lookahead):
+    * simplified to constructs Java regex and RE2 share — no lookahead,
+    * and whitespace as an EXPLICIT class: Java's \s includes U+000B
+    * vertical tab, RE2's does not, so \s itself is not cross-engine):
     * contraction suffixes | space?+letters | space?+digits |
     * space?+punct-run. Token counts from this pattern approximate BPE
     * token budgets well enough for corpus sizing, entirely map-side. */
+  val WsClass: String = " \\t\\n\\f\\r" // chars both engines call whitespace
   val BpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[a-zа-яё]+| ?[0-9]+| ?[^\\sa-zа-яё0-9]+"
+    s"'(?:s|t|re|ve|m|ll|d)| ?[a-zа-яё]+| ?[0-9]+| ?[^${WsClass}a-zа-яё0-9]+"
 
   def q42BpeTokens(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("pieces", regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
       .withColumn("n_bpe", size(col("pieces")).cast("long"))
-      .withColumn("n_ws", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("n_ws", size(split(trim(col("text")), s"[$WsClass]+")).cast("long"))
       .select(col("doc_id"), col("n_bpe"), col("n_ws"),
         round(col("n_bpe").cast("double") / col("n_ws"), 6).as("bpe_per_word"),
         coalesce(try_element_at(col("pieces"), lit(1)), lit("")).as("first_piece"))
@@ -139,7 +142,7 @@ object Text {
        |FROM (SELECT doc_id,
        |    regexp_extract_all(lower(text), '$BpePatternSql') AS pieces,
        |    len(regexp_extract_all(lower(text), '$BpePatternSql')) AS n_bpe,
-       |    len(string_split_regex(trim(text), '\\s+')) AS n_ws
+       |    len(string_split_regex(trim(text), '[$WsClass]+')) AS n_ws
        |  FROM documents)""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
