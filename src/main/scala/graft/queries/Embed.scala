@@ -220,7 +220,86 @@ object Embed {
        |SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
        |FROM cos WHERE cos_sim >= 0.2""".stripMargin
 
+  /** IVF probe — the ANN SEARCH path that q28's coarse assignment
+    * exists for: each query vector probes only its nprobe=2 nearest
+    * cells and ranks the exact cosine among that cell-bounded candidate
+    * set. At 100 TB: centroids broadcast, the corpus is scanned once to
+    * tag cells (or pre-materialized partitioned BY cell — then the probe
+    * reads only matching partitions), and the candidate join is bounded
+    * by cell occupancy, never all-pairs. Queries = vec_id < 5. */
+  def q43IvfProbe(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).withColumn("q", qvec(col("embedding")))
+      .withColumn("nrm", qnorm(col("q")))
+    val cents = e.select(col("vec_id").as("centroid_id"), col("q").as("cv"),
+      col("nrm").as("cnrm")).filter(col("centroid_id") < 8)
+    // corpus → nearest cell (q28's assignment)
+    val wCell = Window.partitionBy("vec_id").orderBy(col("c_sim").desc, col("centroid_id"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("c_sim",
+        qdot(col("q"), col("cv")).cast("double") / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("q").as("qc"),
+        col("nrm").as("cnrmv"), col("centroid_id").as("cell"))
+    // query → its nprobe=2 nearest cells
+    val wProbe = Window.partitionBy("query_id").orderBy(col("c_sim").desc, col("centroid_id"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qnrm"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("c_sim",
+        qdot(col("qq"), col("cv")).cast("double") / (col("qnrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("query_id"), col("qq"), col("qnrm"), col("centroid_id").as("cell"))
+    // candidates = corpus rows in the probed cells; exact-cosine top-3
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        qdot(col("qq"), col("qc")).cast("double") / (col("qnrm") * col("cnrmv")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cand_id"),
+        col("rank").cast("long").as("rank"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  val q43Sql: String =
+    s"""WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+       |cents AS (SELECT vec_id AS centroid_id, qv AS cv FROM q WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id AS cand_id, qv AS qc, cell FROM (
+       |    SELECT v.vec_id, v.qv, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        cast(list_dot_product(v.qv, c.cv) as double) /
+       |          (sqrt(cast(list_dot_product(v.qv, v.qv) as double)) *
+       |           sqrt(cast(list_dot_product(c.cv, c.cv) as double))) DESC,
+       |        c.centroid_id) AS rn
+       |    FROM q v JOIN cents c ON true)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, qq, cell FROM (
+       |    SELECT v.vec_id AS query_id, v.qv AS qq, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        cast(list_dot_product(v.qv, c.cv) as double) /
+       |          (sqrt(cast(list_dot_product(v.qv, v.qv) as double)) *
+       |           sqrt(cast(list_dot_product(c.cv, c.cv) as double))) DESC,
+       |        c.centroid_id) AS rn
+       |    FROM q v JOIN cents c ON true WHERE v.vec_id < 5)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    cast(list_dot_product(p.qq, a.qc) as double) /
+       |      (sqrt(cast(list_dot_product(p.qq, p.qq) as double)) *
+       |       sqrt(cast(list_dot_product(a.qc, a.qc) as double))) AS cos_sim
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.cand_id <> p.query_id)
+       |SELECT query_id, cand_id, rank, round(cos_sim, 6) AS cos_sim
+       |FROM (SELECT *, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+       |      FROM cand)
+       |WHERE rank <= 3""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_ivf_probe"     -> q43IvfProbe _,
     "q26_embed_norm"    -> q26EmbedNorm _,
     "q27_cosine_topk"   -> q27CosineTopK _,
     "q28_ivf_assign"    -> q28IvfAssign _,
@@ -229,6 +308,7 @@ object Embed {
   )
 
   val oracle: Map[String, String] = Map(
+    "q43_ivf_probe"     -> q43Sql,
     "q26_embed_norm"    -> q26Sql,
     "q27_cosine_topk"   -> q27Sql,
     "q28_ivf_assign"    -> q28Sql,
