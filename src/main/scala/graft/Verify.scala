@@ -22,18 +22,39 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // Engine-state dumps for the q30-q37 oracles: the UNRESOLVED
+    // Engine-state dumps for the q30-q37/q44 oracles: the UNRESOLVED
     // snapshot-table files (+__delta_seq) — DuckDB re-derives the
     // latest-wins merge itself, so the driver independently checks the
-    // storage resolution, not a Spark-resolved copy.
-    val dumpsAbs = java.nio.file.Paths.get(outDir).toAbsolutePath.toString
+    // storage resolution, not a Spark-resolved copy. Written under a
+    // dumps/ SUBDIR so the driver's result enumeration over outDir
+    // doesn't list them as oracle-less query entries (ADVICE r2).
+    val dumpsAbs = java.nio.file.Paths.get(outDir, "dumps").toAbsolutePath.toString
     try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.lit
       val eng = graft.crawl.Flagship.engine(spark, sfDir)
-      eng.frontier.readRaw().coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/dump_frontier_raw")
-      eng.payload.readRaw().drop("pieces") // lean: no oracle reads pieces
+      // typed-empty guards: readRaw() on a never-committed table is a
+      // ZERO-COLUMN frame whose parquet write throws — a drain where
+      // every fetch failed would otherwise kill all engine oracles
+      val fRaw = {
+        val r = eng.frontier.readRaw()
+        if (r.columns.isEmpty)
+          spark.emptyDataset[graft.model.FrontierEntry].toDF()
+            .withColumn("__delta_seq", lit(0L))
+        else r
+      }
+      val pRaw = {
+        val r = eng.payload.readRaw()
+        if (r.columns.isEmpty)
+          spark.emptyDataset[graft.model.PayloadRow].toDF()
+            .withColumn("__delta_seq", lit(0L))
+        else r
+      }
+      fRaw.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dumpsAbs/dump_frontier_raw")
+      pRaw.drop("pieces") // lean: no oracle reads pieces
         .coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/dump_payload_raw")
+        .parquet(s"$dumpsAbs/dump_payload_raw")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] engine dumps failed: ${e.getMessage}")
     }

@@ -79,9 +79,38 @@ object Flagship {
     ExportQuery.split(engine(spark, sfDir).media)
 
   /** Multimodal feature extraction over the media payload (decode,
-    * histogram, resize — ImageOps) — rows-only check. */
+    * histogram, resize — ImageOps) — rows-only check (the raw feature
+    * values are image work DuckDB cannot re-derive); q44 below puts the
+    * same decode path under a full hash-checked invariant oracle. */
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
     graft.image.ImageOps.features(spark, engine(spark, sfDir).media)
+
+  /** q44: decode-path INVARIANTS the DuckDB oracle predicts from the
+    * independently-stored metadata in the payload dump (the partial
+    * oracle for the physically un-oracle-able q36): decoded dims ==
+    * stored (w,h); integer luma-hist bin sum == w·h (every pixel binned
+    * exactly once); an 8×8 bilinear resize re-decodes to exactly 8×8;
+    * the 3-frame sample stub yields 3·16·16 px of decodable PNG. Full
+    * row/schema/hash compare — any decode/resize/binning defect breaks
+    * the hash. Failures encode as -1, never as a plausible value. */
+  def mediaInvariants(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.image.ImageOps
+    engine(spark, sfDir).media.select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .map { case (id, bytes) =>
+        val dims = ImageOps.decodeDims(bytes)
+        val histPx = ImageOps.lumaHistPxSum(bytes).getOrElse(-1L)
+        val thumb = ImageOps.resizePng(bytes, 8, 8).flatMap(ImageOps.decodeDims)
+        val framesPx = ImageOps.sampleFramesStub(bytes, 3).iterator
+          .flatMap(ImageOps.decodeDims).map(d => d.w.toLong * d.h).sum
+        (id, dims.map(_.w.toLong).getOrElse(-1L), dims.map(_.h.toLong).getOrElse(-1L),
+          histPx, thumb.map(_.w.toLong).getOrElse(-1L),
+          thumb.map(_.h.toLong).getOrElse(-1L), framesPx)
+      }
+      .toDF("image_id", "dec_w", "dec_h", "hist_px", "thumb_w", "thumb_h",
+        "frames_px")
+  }
 
   /** Global stats rollup (A4). No rounding: every value is either an
     * exact count or a decimal-routed sum followed by IEEE double ops,

@@ -87,13 +87,31 @@ object Frontier {
     * unique fps. If a `maybeSeen` column is present (cuckoo tier-1
     * verdict), rows flagged false are definitely new and skip the
     * exact anti-join — the 100 TB fast path: only filter-positives
-    * pay the big-join toll. */
-  def dedupGate(candidates: DataFrame, frontierKeys: DataFrame): DataFrame = {
+    * pay the big-join toll.
+    *
+    * `broadcastCandidates`: the exact tier's plan for BOUNDED candidate
+    * sets (one batch's outlinks) against a 10^10-key table — a plain
+    * anti-join would sort-merge-shuffle the key table every batch.
+    * Broadcasting the candidates through a semi-join keeps the key scan
+    * map-side (no shuffle of the big side), and the resulting hit set
+    * is at most the candidate count, so the final anti-join broadcasts
+    * too. Output is byte-identical to the plain plan (equivalence-
+    * tested); callers with unbounded candidates (bulk seeding) must
+    * leave it off. */
+  def dedupGate(candidates: DataFrame, frontierKeys: DataFrame,
+                broadcastCandidates: Boolean = false): DataFrame = {
     if (!candidates.columns.contains("maybeSeen"))
       return candidates.join(frontierKeys, Seq("fp"), "left_anti")
     val definitelyNew = candidates.filter(!col("maybeSeen")).drop("maybeSeen")
-    val needCheck = candidates.filter(col("maybeSeen")).drop("maybeSeen")
-      .join(frontierKeys, Seq("fp"), "left_anti")
+    val needCheck0 = candidates.filter(col("maybeSeen")).drop("maybeSeen")
+    val needCheck =
+      if (!broadcastCandidates)
+        needCheck0.join(frontierKeys, Seq("fp"), "left_anti")
+      else {
+        val hits = frontierKeys
+          .join(broadcast(needCheck0.select("fp")), Seq("fp"), "left_semi")
+        needCheck0.join(broadcast(hits), Seq("fp"), "left_anti")
+      }
     definitelyNew.unionByName(needCheck)
   }
 

@@ -57,6 +57,23 @@ object ImageOps {
       Some(bins.map(_ / px.length).toSeq)
     } catch { case _: Throwable => None }
 
+  /** Integer luma-histogram pixel sum — q44's invariant input: bins as
+    * exact counts, returned as their sum, which equals w·h iff the
+    * histogram binned every decoded pixel exactly once. */
+  def lumaHistPxSum(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = ImageCodec.decode(bytes)
+      if (img == null) return None
+      val px = ImageCodec.pixels(img)
+      val bins = new Array[Long](16)
+      px.foreach { p =>
+        val y = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+          0.114 * (p & 0xff)
+        bins(math.min(15, (y / 16).toInt)) += 1
+      }
+      Some(bins.sum)
+    } catch { case _: Throwable => None }
+
   /** VIDEO FRAME SAMPLING — STUB. A real implementation would demux n
     * key-frames via a video codec; none ships in this container, so
     * this returns n deterministic pseudo-frames derived from the

@@ -44,7 +44,16 @@ object CueParser {
     val s = rest.substring(0, di).toLong
     val ms =
       if (di >= rest.length - 1) 0L // no separator, or separator is last
-      else rest.substring(di + 1).toLong
+      else {
+        // the fractional field is MILLISECONDS with padding semantics
+        // (pyvtt WebVTTTime.from_string ordinal): '.2' = 200 ms,
+        // '.25' = 250 ms; extra precision truncates to ms ('.2507' =
+        // 250). The previous literal parse read '.2' as 2 ms.
+        val frac = rest.substring(di + 1)
+        val f3 = if (frac.length > 3) frac.substring(0, 3) else frac
+        val scale = f3.length match { case 1 => 100L; case 2 => 10L; case _ => 1L }
+        f3.toLong * scale
+      }
     h * 3600000L + m * 60000L + s * 1000L + ms
   }
 

@@ -23,8 +23,15 @@ object Cue {
     Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
       .flatMap { case (docId, text) =>
         // Locale.ROOT: DuckDB's lower() is locale-independent; default-
-        // locale toLowerCase would diverge on e.g. tr/az JVMs ('I'→'ı')
-        val toks0 = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        // locale toLowerCase would diverge on e.g. tr/az JVMs ('I'→'ı').
+        // Whitespace as an EXPLICIT class (q42's lesson: Java \s has
+        // U+000B, RE2's doesn't), empties dropped on both sides, and
+        // tokens carrying the one divergent char (VT) excluded on both
+        // sides — the inner CueParser split (Java \s) and the SQL twin
+        // (RE2 \s) then agree on every reachable input.
+        val toks0 = text.trim.toLowerCase(java.util.Locale.ROOT)
+          .split(s"[${Text.WsClass}]+")
+          .filter(t => t.nonEmpty && !t.contains('\u000B'))
         if (toks0.length < 2) Iterator.empty
         else {
           val w = toks0.take(8)
@@ -44,8 +51,10 @@ object Cue {
   }
 
   val q39Sql: String =
-    """WITH d AS (
-      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w0
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(lower(text)), '[${Text.WsClass}]+'),
+      |                t -> len(t) > 0 AND NOT contains(t, chr(11))) AS w0
       |  FROM documents),
       |t AS (SELECT doc_id, w0[1:least(len(w0), 8)] AS w FROM d WHERE len(w0) >= 2),
       |cue AS (
@@ -56,12 +65,15 @@ object Cue {
       |  FROM t),
       |parsed AS (
       |  SELECT doc_id,
-      |    list_transform(regexp_extract_all(lastrow, '<(\d+:\d+:\d+.\d+)>', 1),
+      |    list_transform(regexp_extract_all(lastrow, '<(\\d+:\\d+:\\d+.\\d+)>', 1),
       |      tc -> cast(str_split(tc, ':')[1] as bigint) * 3600000
       |          + cast(str_split(tc, ':')[2] as bigint) * 60000
       |          + cast(str_split(str_split(tc, ':')[3], '.')[1] as bigint) * 1000
       |          + cast(str_split(str_split(tc, ':')[3], '.')[2] as bigint)) AS tcs,
-      |    regexp_split_to_array(regexp_replace(lastrow, '<[^>]*>', '', 'g'), '\s+') AS ws
+      |    list_filter(
+      |      regexp_split_to_array(regexp_replace(lastrow, '<[^>]*>', '', 'g'),
+      |                            '[${Text.WsClass}]+'),
+      |      x -> len(x) > 0) AS ws
       |  FROM (SELECT doc_id, str_split(txt, chr(10))[-1] AS lastrow FROM cue)),
       |e AS (
       |  SELECT doc_id, tcs, ws, len(ws) AS k,

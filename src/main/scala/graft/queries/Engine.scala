@@ -29,6 +29,7 @@ object Engine {
     "q35_phash_neardup"   -> (Flagship.phashNearDup _),
     "q36_media_features"  -> (Flagship.mediaFeatures _),
     "q37_global_stats"    -> (Flagship.globalStats _),
+    "q44_media_invariants" -> (Flagship.mediaInvariants _),
   )
 
   /** Latest-wins resolution of a raw snapshot-table dump — the DuckDB
@@ -130,6 +131,20 @@ object Engine {
        |  cast(sum(cast(subs_quality AS decimal(28,9))) AS double)
        |    / cast(count(*) AS double) FROM p""".stripMargin
 
+  /** q44 (the q36 partial oracle): every value is predictable from the
+    * payload dump's independently-stored metadata — decoded dims and
+    * pixel-exact histogram sums must equal the stored (w, h), the 8×8
+    * resize must re-decode to 8×8, the 3-frame stub to 3·16·16 px.
+    * The Spark side computes them by actually decoding. */
+  val q44Sql: String =
+    s"""WITH p AS (${resolved("dump_payload_raw", "image_id")})
+       |SELECT image_id,
+       |  cast(w AS bigint) AS dec_w, cast(h AS bigint) AS dec_h,
+       |  cast(w AS bigint) * h AS hist_px,
+       |  cast(8 AS bigint) AS thumb_w, cast(8 AS bigint) AS thumb_h,
+       |  cast(768 AS bigint) AS frames_px
+       |FROM p""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q30_crawl_order"    -> q30Sql,
     "q31_crawl_media"    -> q31Sql,
@@ -138,5 +153,6 @@ object Engine {
     "q34_export_split"   -> q34Sql,
     "q35_phash_neardup"  -> q35Sql,
     "q37_global_stats"   -> q37Sql,
+    "q44_media_invariants" -> q44Sql,
   )
 }

@@ -20,6 +20,28 @@ import scala.jdk.CollectionConverters._
   *  - every commit records per-file lineage (rows/bytes/min/max key)
   *    plus a metrics map (north rule: per-partition lineage manifests).
   *
+  * State-partitioned files (`tagCol`): when set, every data write is
+  * split by that column's value and each file's manifest entry records
+  * its tag — the Iceberg partition-by-lifecycle-state layout. Two scale
+  * properties fall out:
+  *  - `readStates(want)` resolves the merge-on-read view for the wanted
+  *    states while reading FULL rows only from wanted-tag files; other
+  *    DELTA files contribute just their key column (pruned scan) for
+  *    shadowing, and other BASE files are skipped entirely. A frontier
+  *    claim therefore stops paying a full 10^10-row scan per batch —
+  *    the reference's pop reads only the queue head the same way
+  *    (utils/csv_utils.py:286-299).
+  *  - `frozenTags`: lifecycle states that are terminal (their keys are
+  *    never upserted again — the crawl state machine is monotone).
+  *    Compaction carries frozen-tag base files over UNTOUCHED and
+  *    rewrites only active files, so compaction cost tracks the live
+  *    working set, not the table's full history.
+  *
+  * Contract both optimizations lean on (and the engine guarantees via
+  * its dedup gate): `commitAppend` only ever adds NEW keys, so base
+  * files hold disjoint key sets and deltas only reference keys that
+  * exist in some base.
+  *
   * Commit protocol (single-writer = the driver, same linearization the
   * reference got from its writer thread, utils/csv_utils.py:105-173):
   * write data files → write manifest json → atomic-rename CURRENT.
@@ -28,7 +50,9 @@ import scala.jdk.CollectionConverters._
   *
   * Replaces: whole-file CSV sync (utils/csv_utils.py:83-101).
   */
-final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String) {
+final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
+                          tagCol: Option[String] = None,
+                          frozenTags: Set[String] = Set.empty) {
 
   import SnapshotTable._
 
@@ -81,6 +105,81 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String) {
       .unionByName(latest)
   }
 
+  def statesReadPlan(wantTags: Set[String]): ReadPlan = {
+    val files = currentManifest.map(_.files).getOrElse(Seq.empty)
+    val (full, other) = files.partition(f => f.tag.isEmpty || wantTags(f.tag))
+    val (shadow, skipped) = other.partition(_.deltaSeq > 0)
+    ReadPlan(full, shadow, skipped)
+  }
+
+  /** Resolved rows whose CURRENT version carries one of `wantTags` —
+    * equal to `read().filter(tagCol isin wantTags)` (property-tested),
+    * but executed with the pruned plan above: at design scale a
+    * pending-state claim reads the pending files plus the key columns
+    * of the few since-last-compaction deltas, never the 10^10 rows of
+    * terminal history. */
+  def readStates(wantTags: Set[String]): DataFrame = {
+    val tc = tagCol.getOrElse(
+      throw new IllegalStateException("readStates requires a tagCol-partitioned table"))
+    val m = currentManifest.getOrElse(return spark.emptyDataFrame)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val plan = statesReadPlan(wantTags)
+    if (plan.full.isEmpty) return empty
+    val cols = schema.fieldNames.map(col).toSeq
+    val candDf = plan.full.groupBy(f => (f.deltaSeq, f.tag)).toSeq.sortBy(_._1).map {
+      case ((seq, tag), fs) =>
+        val df = spark.read.schema(schema)
+          .parquet(fs.map(f => root.resolve(f.path).toString): _*)
+          .withColumn("__delta_seq", lit(seq))
+        // tagged file ⇒ every row matches by construction; untagged
+        // (legacy/mixed) files fall back to a row-level predicate
+        val cand = if (tag.nonEmpty) lit(true)
+                   else col(tc).isin(wantTags.toSeq: _*)
+        df.withColumn("__cand", cand)
+    }.reduce(_ unionByName _)
+    val all =
+      if (plan.shadowKeys.isEmpty) candDf
+      else {
+        // other-tag deltas shadow by key: read ONLY the key column
+        // (columnar pruned scan), null-pad the rest for the union
+        val nulls = schema.fields.filterNot(_.name == keyCol)
+          .map(f => lit(null).cast(f.dataType).as(f.name)).toSeq
+        val shadowDf = plan.shadowKeys.groupBy(_.deltaSeq).toSeq.sortBy(_._1).map {
+          case (seq, fs) =>
+            spark.read.schema(schema)
+              .parquet(fs.map(f => root.resolve(f.path).toString): _*)
+              .select((col(keyCol) +: nulls): _*)
+              .withColumn("__delta_seq", lit(seq))
+              .withColumn("__cand", lit(false))
+        }.reduce(_ unionByName _)
+        candDf.unionByName(shadowDf)
+      }
+    // latest version per key wins; keep it only if it is a wanted row.
+    // Keys are unique within a commit (upsert contract), so no ties.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("__delta_seq").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__cand"))
+      .select(cols: _*)
+  }
+
+  /** Every key in the table — base files only (appends introduce all
+    * keys; deltas only revise them), no resolution window, single
+    * pruned column. The dedup gate's exact tier reads this. */
+  def readKeys(): DataFrame = currentManifest match {
+    case None => spark.emptyDataFrame
+    case Some(m) =>
+      val schema = StructType.fromDDL(m.schemaDdl)
+      val keySchema = StructType(schema.fields.filter(_.name == keyCol))
+      val bases = m.files.filter(_.kind == "base")
+      if (bases.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], keySchema)
+      else spark.read.schema(schema)
+        .parquet(bases.map(f => root.resolve(f.path).toString): _*)
+        .select(keyCol)
+  }
+
   /** UNresolved view: every live file's rows + a `__delta_seq` column
     * (base = 0, delta = its commit id). External engines re-derive the
     * merge-on-read resolution independently: latest __delta_seq per key
@@ -98,21 +197,28 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String) {
   }
 
   /** Append new rows (new keys) as base files. */
-  def commitAppend(df: DataFrame, metrics: Map[String, Double] = Map.empty): Long =
-    commit(df, kind = "base", metrics)
+  def commitAppend(df: DataFrame, metrics: Map[String, Double] = Map.empty,
+                   props: Map[String, String] = Map.empty): Long =
+    commit(df, kind = "base", metrics, props)
 
   /** Upsert rows by key as a merge-on-read delta. */
-  def commitUpsert(df: DataFrame, metrics: Map[String, Double] = Map.empty): Long =
-    commit(df, kind = "delta", metrics)
+  def commitUpsert(df: DataFrame, metrics: Map[String, Double] = Map.empty,
+                   props: Map[String, String] = Map.empty): Long =
+    commit(df, kind = "delta", metrics, props)
 
-  /** Fold base+deltas into a fresh base when read amplification grows. */
+  /** Fold deltas into a fresh base when read amplification grows.
+    * Frozen-tag base files (terminal lifecycle states — never upserted
+    * again) carry over UNTOUCHED: compaction cost is O(active set),
+    * not O(table), over a long drain. */
   def compactIfNeeded(maxDeltaFiles: Int = 8,
                       metrics: Map[String, Double] = Map.empty): Option[Long] =
     currentManifest match {
       case Some(m) if m.files.count(_.kind == "delta") > maxDeltaFiles =>
-        val resolved = readResolved(m)
+        val (frozen, active) = m.files.partition(f =>
+          f.kind == "base" && f.tag.nonEmpty && frozenTags(f.tag))
+        val resolved = readResolved(m.copy(files = active))
         val nextId = m.id + 1
-        val files = writeData(resolved, nextId, "base", 0L)
+        val files = frozen ++ writeData(resolved, nextId, "base", 0L)
         val man = Manifest(nextId, Some(m.id), m.schemaDdl, files,
           metrics + ("compacted" -> 1.0), m.props)
         publish(man)
@@ -120,7 +226,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String) {
       case _ => None
     }
 
-  private def commit(df: DataFrame, kind: String, metrics: Map[String, Double]): Long = {
+  private def commit(df: DataFrame, kind: String, metrics: Map[String, Double],
+                     props: Map[String, String]): Long = {
     val parent = currentManifest
     val nextId = parent.map(_.id + 1).getOrElse(0L)
     val schemaDdl = parent.map(_.schemaDdl).getOrElse(df.schema.toDDL)
@@ -128,7 +235,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String) {
     val newFiles = writeData(df, nextId, kind, deltaSeq)
     val files = parent.map(_.files).getOrElse(Seq.empty) ++ newFiles
     val man = Manifest(nextId, parent.map(_.id), schemaDdl, files, metrics,
-      parent.map(_.props).getOrElse(Map.empty))
+      parent.map(_.props).getOrElse(Map.empty) ++ props)
     publish(man)
     nextId
   }
@@ -173,25 +280,48 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String) {
                         deltaSeq: Long): Seq[FileEntry] = {
     val tmp = Files.createTempDirectory(root, s".stage-$snapId-")
     try {
-      df.write.mode("overwrite").parquet(tmp.toString)
-      val parts = Files.list(tmp).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        .sortBy(_.getFileName.toString)
-      val moved = parts.zipWithIndex.map { case (p, i) =>
-        val name = f"snap-$snapId%06d-$kind-part-$i%05d.parquet"
+      tagCol match {
+        case Some(tc) =>
+          // duplicate the tag column: partitionBy drops the partition
+          // column from data files, but readers want the real column
+          df.withColumn("__tag", col(tc))
+            .write.mode("overwrite").partitionBy("__tag").parquet(tmp.toString)
+        case None =>
+          df.write.mode("overwrite").parquet(tmp.toString)
+      }
+      val parts: Seq[(String, Path)] = tagCol match {
+        case Some(_) =>
+          Files.list(tmp).iterator().asScala
+            .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("__tag="))
+            .flatMap { d =>
+              val tag = java.net.URLDecoder.decode(
+                d.getFileName.toString.stripPrefix("__tag="), "UTF-8")
+              Files.list(d).iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet"))
+                .map(tag -> _).toSeq
+            }.toSeq.sortBy { case (t, p) => (t, p.getFileName.toString) }
+        case None =>
+          Files.list(tmp).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+            .sortBy(_.getFileName.toString).map("" -> _)
+      }
+      val moved = parts.zipWithIndex.map { case ((tag, p), i) =>
+        val tagPart = if (tag.isEmpty) "" else "-" + tag.filter(_.isLetterOrDigit)
+        val name = f"snap-$snapId%06d-$kind$tagPart-part-$i%05d.parquet"
         val dest = dataDir.resolve(name)
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-        (name, dest)
+        (tag, name, dest)
       }
       // footer reads are independent metadata IO — serial reads were a
       // measurable slice of the per-batch fixed cost at 32-file commits;
       // the pool is shared (a crawl batch commits 5-6 times — per-commit
       // pool churn would be thousands of short-lived threads per drain)
-      moved.map { case (name, dest) =>
+      moved.map { case (tag, name, dest) =>
         SnapshotTable.footerPool.submit(new java.util.concurrent.Callable[FileEntry] {
           override def call(): FileEntry = {
             val (rows, minK, maxK) = footerStats(dest)
-            FileEntry(s"data/$name", kind, deltaSeq, rows, Files.size(dest), minK, maxK)
+            FileEntry(s"data/$name", kind, deltaSeq, rows, Files.size(dest),
+              minK, maxK, tag)
           }
         })
       }.map(_.get())
@@ -265,7 +395,18 @@ object SnapshotTable {
       })
 
   final case class FileEntry(path: String, kind: String, deltaSeq: Long,
-                             rows: Long, bytes: Long, minKey: String, maxKey: String)
+                             rows: Long, bytes: Long, minKey: String,
+                             maxKey: String, tag: String = "")
+
+  /** The file-pruning plan `readStates` executes — exposed so tests can
+    * assert a claim read opens a strict subset of the table's files.
+    *  - `full`: files read with all columns (wanted tag, or untagged);
+    *  - `shadowKeys`: delta files of other tags, key column only
+    *    (they can shadow a wanted row with a newer version);
+    *  - `skipped`: base files of other tags — never opened at all.
+    */
+  final case class ReadPlan(full: Seq[FileEntry], shadowKeys: Seq[FileEntry],
+                            skipped: Seq[FileEntry])
 
   final case class Manifest(id: Long, parent: Option[Long], schemaDdl: String,
                             files: Seq[FileEntry], metrics: Map[String, Double],
@@ -277,7 +418,8 @@ object SnapshotTable {
       }
       val fs = files.map(f =>
         s"""{"path":"${esc(f.path)}","kind":"${f.kind}","deltaSeq":${f.deltaSeq},""" +
-        s""""rows":${f.rows},"bytes":${f.bytes},"minKey":"${esc(f.minKey)}","maxKey":"${esc(f.maxKey)}"}""")
+        s""""rows":${f.rows},"bytes":${f.bytes},"minKey":"${esc(f.minKey)}",""" +
+        s""""maxKey":"${esc(f.maxKey)}","tag":"${esc(f.tag)}"}""")
         .mkString("[", ",", "]")
       val ms = metrics.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
@@ -297,7 +439,8 @@ object SnapshotTable {
       val files = node.get("files").elements().asScala.map { f =>
         FileEntry(f.get("path").asText(), f.get("kind").asText(),
           f.get("deltaSeq").asLong(), f.get("rows").asLong(),
-          f.get("bytes").asLong(), f.get("minKey").asText(), f.get("maxKey").asText())
+          f.get("bytes").asLong(), f.get("minKey").asText(), f.get("maxKey").asText(),
+          if (f.has("tag")) f.get("tag").asText() else "")
       }.toSeq
       val metrics = node.get("metrics").properties().asScala
         .map(e => e.getKey -> e.getValue.asDouble()).toMap

@@ -53,6 +53,27 @@ class SourcesOpsSpec extends AnyFunSuite {
     assert(s2 === 0L && u2 === 0L)
   }
 
+  test("executor-side keyword expansion == driver-side expansion (byte-equal frontier)") {
+    import spark.implicits._
+    val qs = Seq("речь", "данные", "голос")
+    def frontierRows(drain: CrawlEngine => Unit): Seq[(Long, String, Int, Long, String)] = {
+      val eng = new CrawlEngine(spark, Files.createTempDirectory("searchtwin").toString,
+        CrawlConfig(universe = 400))
+      eng.enqueueSearches(qs)
+      drain(eng)
+      eng.frontier.read().select("fp", "url", "priority", "seq", "state")
+        .as[(Long, String, Int, Long, String)].collect().sortBy(_._4).toSeq
+    }
+    def drainWith(step: (CrawlEngine, Int) => (Long, Long))(eng: CrawlEngine): Unit = {
+      var s = -1L
+      while (s != 0L) s = step(eng, 2)._1 // k=2: multiple claim batches
+    }
+    val viaDriver = frontierRows(drainWith((e, k) => e.searchBatch(k)))
+    val viaExec   = frontierRows(drainWith((e, k) => e.searchBatchParallel(k)))
+    assert(viaExec.nonEmpty)
+    assert(viaExec === viaDriver)
+  }
+
   test("image ops: dims/resize/hist real, frame-sample stub deterministic") {
     val pay = Iterator.from(0).map(i => Synth.fetch(s"http://host1.example.com/v/ops$i"))
       .find(_.ok).get
