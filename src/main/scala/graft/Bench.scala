@@ -4,13 +4,24 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): one JSON line on stdout.
   *
-  * Three sections:
-  *  1. the query suite at local[SPARK_GRAFT_CPUS] over SPARK_GRAFT_SF_DIR;
+  * Four sections:
+  *  1. the query suite at local[SPARK_GRAFT_CPUS] over SPARK_GRAFT_SF_DIR —
+  *     with the flagship crawl PRE-BUILT and reported as its own
+  *     `engine_build_sec` metric, so q30..q44 timings measure the
+  *     queries, not whichever one triggers the shared drain first
+  *     (VERDICT r2 next-round #8);
   *  2. frontier-drain: full crawl engine, urls/sec + wall (BASELINE.md
-  *     "URLs fetched/sec");
+  *     "URLs fetched/sec") — at the standard 30k seeds AND a large-fill
+  *     drain (default 100k) proving throughput holds as the frontier
+  *     fills (VERDICT r2 next-round #6);
   *  3. scaling evidence (north rule, sandbox proxy for N→4N executors):
-  *     the fetch+process stage over the same synthetic url set at
-  *     local[8] vs local[32]; efficiency = (thr32/thr8)/4.
+  *     the fetch+process stage at two core-count pairs, interleaved
+  *     A/B/A/B medians-of-3 so slow machine drift (page cache, thermal,
+  *     JIT) hits both levels equally (VERDICT r2 next-round #2);
+  *  4. an allocation-free CPU control at the SAME pairs — it separates
+  *     the shared-heap/scheduler ceiling of one 32-thread JVM from the
+  *     pipeline's own scaling (each executor of a real 4N cluster would
+  *     own its heap).
   */
 object Bench {
 
@@ -48,28 +59,84 @@ object Bench {
       }.reduce(_ + _)
   }
 
+  /** Allocation-free control job: same scheduling shape, pure CPU. */
+  private def cpuControl(spark: SparkSession, n: Long): Long = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, spark.sparkContext.defaultParallelism * 8)
+      .map { i =>
+        var z = i * 0x9E3779B97F4A7C15L; var k = 0
+        while (k < 2000) { z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L; k += 1 }
+        z
+      }.reduce(_ ^ _)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
+  /** One (warmup + timed run) of `job` in a fresh local[cpus] session. */
+  private def oneRun(cpus: Int, warm: SparkSession => Unit,
+                     job: SparkSession => Unit): Double = {
+    val s = session(cpus)
+    try {
+      warm(s)
+      val t0 = System.nanoTime()
+      job(s)
+      (System.nanoTime() - t0) / 1e9
+    } finally s.stop()
+  }
+
+  /** Interleaved A/B/A/B measurement of a core-count pair: each rep
+    * measures both levels back-to-back so monotone machine drift lands
+    * on both sides of the ratio; medians kill one-off outliers. */
+  private def timePairMedian(cpusA: Int, cpusB: Int, reps: Int,
+                             warm: SparkSession => Unit,
+                             job: SparkSession => Unit): (Double, Double) = {
+    val as = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val bs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to reps).foreach { _ =>
+      as += oneRun(cpusA, warm, job)
+      bs += oneRun(cpusB, warm, job)
+    }
+    (median(as.toSeq), median(bs.toSeq))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "40000").toInt
     val drainSeeds = sys.env.getOrElse("SPARK_GRAFT_DRAIN_SEEDS", "30000").toInt
+    val drainSeedsLarge =
+      sys.env.getOrElse("SPARK_GRAFT_DRAIN_SEEDS_LARGE", "100000").toInt
+    // 5 reps: this box's minute-scale load drift swings single runs by
+    // ±30%; interleaving bounds the A/B ratio skew and 5-rep medians
+    // keep one bad window from deciding the headline ratio
+    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
 
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES") // dev loop
 
-    // 1. query suite
+    // 1. query suite — flagship crawl pre-built and timed SEPARATELY so
+    // q30..q44 measure their reads, not the shared drain
     val s1 = session(cpus)
+    var engineBuildSec = 0.0
     val results =
       if (skipQueries) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(s1, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
+      else {
+        val e0 = System.nanoTime()
+        graft.crawl.Flagship.engine(s1, sfDir)
+        engineBuildSec = (System.nanoTime() - e0) / 1e9
+        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(s1, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+          // failures are visible in the JSON as negative timings, never
+          // as a plausible near-zero wall time
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         }
-        // failures are visible in the JSON as negative timings, never
-        // as a plausible near-zero wall time
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
 
     s1.stop()
@@ -81,79 +148,60 @@ object Bench {
     graft.crawl.Flagship.reset()
     System.gc()
 
-    // 2. frontier drain (full engine) in a fresh local[cpus] session
-    val drainDir = s"/tmp/graft_bench_drain_$cpus"
-    rmrf(drainDir)
+    // 2. frontier drains (full engine), each in a fresh local[cpus]
+    // session: the standard 30k run plus a large-fill run showing
+    // throughput holds as the frontier/seen set fill toward design scale
     val drainBatch = sys.env.getOrElse("SPARK_GRAFT_DRAIN_BATCH", "8192").toInt
     val seenMode = sys.env.getOrElse("SPARK_GRAFT_SEEN_MODE", "auto")
-    val s2 = session(cpus)
-    val eng = new graft.crawl.CrawlEngine(s2, drainDir,
-      graft.crawl.CrawlConfig(batchSize = drainBatch, seenMode = seenMode))
-    val d0 = System.nanoTime()
-    eng.init(drainSeeds)
-    val (batches, processed) = eng.drain()
-    val drainWall = (System.nanoTime() - d0) / 1e9
-    s2.stop()
-
-    // 3. scaling: same job, two parallelism levels; best-of-3 per level
-    // (single-machine runs have multi-second noise from GC/page cache)
-    def timeStage(cpus: Int): Double = {
+    def runDrain(seeds: Int): (Long, Long, Double) = {
+      val drainDir = s"/tmp/graft_bench_drain_${cpus}_$seeds"
+      rmrf(drainDir)
       val s = session(cpus)
       try {
-        processStage(s, math.min(2000, scaleN)) // warm-up JIT/codegen
-        (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          processStage(s, scaleN)
-          (System.nanoTime() - t0) / 1e9
-        }.min
+        val eng = new graft.crawl.CrawlEngine(s, drainDir,
+          graft.crawl.CrawlConfig(batchSize = drainBatch, seenMode = seenMode))
+        val d0 = System.nanoTime()
+        eng.init(seeds)
+        val (batches, processed) = eng.drain()
+        (batches, processed, (System.nanoTime() - d0) / 1e9)
       } finally s.stop()
     }
-    // two N→4N pairs: 4→16 leaves JVM/GC headroom (the closer proxy to
-    // 4x independent executors, which would also 4x their heaps);
-    // 8→32 saturates every hardware core of this single JVM
-    val wall4 = timeStage(4)
-    val wall16 = timeStage(16)
-    val wall8 = timeStage(8)
-    val wall32 = timeStage(32)
+    val (batches, processed, drainWall) = runDrain(drainSeeds)
+    val largeDrain =
+      if (drainSeedsLarge > 0 && drainSeedsLarge != drainSeeds)
+        Some((drainSeedsLarge, runDrain(drainSeedsLarge)))
+      else None
+
+    // 3+4. scaling pairs (interleaved medians) + allocation-free controls
+    val warmN = math.min(2000, scaleN)
+    def stageWarm(s: SparkSession): Unit = { processStage(s, warmN); () }
+    def stageJob(s: SparkSession): Unit = { processStage(s, scaleN); () }
+    val (wall4, wall16) = timePairMedian(4, 16, scaleReps, stageWarm, stageJob)
+    val (wall8, wall32) = timePairMedian(8, 32, scaleReps, stageWarm, stageJob)
     val eff416 = (wall4 / wall16) / 4.0
     val eff832 = (wall8 / wall32) / 4.0
 
-    // allocation-free control at the same pair: separates the scheduler/
-    // hardware ceiling from shared-heap allocation pressure (a real
-    // cluster's executors would each own their heap; this JVM's 32
-    // threads share one young gen)
-    def cpuControl(spark: SparkSession, n: Long): Long = {
-      import spark.implicits._
-      spark.range(0L, n, 1L, spark.sparkContext.defaultParallelism * 8)
-        .map { i =>
-          var z = i * 0x9E3779B97F4A7C15L; var k = 0
-          while (k < 2000) { z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L; k += 1 }
-          z
-        }.reduce(_ ^ _)
-    }
-    def timeControl(cpus: Int): Double = {
-      val s = session(cpus)
-      try {
-        cpuControl(s, 100000L)
-        (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); cpuControl(s, 2000000L)
-          (System.nanoTime() - t0) / 1e9
-        }.min
-      } finally s.stop()
-    }
-    val ctl8 = timeControl(8)
-    val ctl32 = timeControl(32)
+    def ctlWarm(s: SparkSession): Unit = { cpuControl(s, 100000L); () }
+    def ctlJob(s: SparkSession): Unit = { cpuControl(s, 2000000L); () }
+    val (ctl4, ctl16) = timePairMedian(4, 16, scaleReps, ctlWarm, ctlJob)
+    val (ctl8, ctl32) = timePairMedian(8, 32, scaleReps, ctlWarm, ctlJob)
+    val ctlEff416 = (ctl4 / ctl16) / 4.0
     val ctlEff832 = (ctl8 / ctl32) / 4.0
 
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val largeJson = largeDrain.map { case (seeds, (b, p, w)) =>
+      f""""frontier_drain_large":{"seeds":$seeds,"urls_processed":$p,"batches":$b,"wall_sec":$w%.3f,"urls_per_sec":${p / w}%.1f,"fresh_session":true},"""
+    }.getOrElse("")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","engine_build_sec":$engineBuildSec%.3f,""" +
       f""""frontier_drain":{"seeds":$drainSeeds,"urls_processed":$processed,"batches":$batches,"wall_sec":$drainWall%.3f,"urls_per_sec":${processed / drainWall}%.1f,"fresh_session":true,"seen_mode":"$seenMode","drain_batch":$drainBatch,"skip_queries":$skipQueries},""" +
-      f""""scaling":{"job":"fetch+process $scaleN urls",""" +
+      largeJson +
+      f""""scaling":{"job":"fetch+process $scaleN urls","method":"interleaved median of $scaleReps",""" +
       f""""wall_local4":$wall4%.3f,"wall_local16":$wall16%.3f,"efficiency_4_to_16":$eff416%.3f,""" +
       f""""wall_local8":$wall8%.3f,"wall_local32":$wall32%.3f,"efficiency_8_to_32":$eff832%.3f,""" +
-      f""""control_efficiency_8_to_32":$ctlEff832%.3f,"thr_local32":${scaleN / wall32}%.1f}}"""
+      f""""control_efficiency_4_to_16":$ctlEff416%.3f,"control_efficiency_8_to_32":$ctlEff832%.3f,""" +
+      f""""thr_local32":${scaleN / wall32}%.1f}}"""
     // file copy so the driver's parser never depends on sbt log framing
     // (round-1 BENCH had "parsed": null — the JSON line carried an
     // "[info] " prefix); build.sbt also sets run/outputStrategy to

@@ -423,12 +423,26 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // appends.)
 
       // single payload commit (media + pieces + stats in one table;
-      // bytes column prunes away for queries not touching it)
+      // bytes column prunes away for queries not touching it).
+      // APPEND vs UPSERT: payload keys (image_id) are new by
+      // construction — a url is claimed once — EXCEPT when the batch
+      // replays rows recovered from a crash (they may have committed
+      // payload before the terminal flip). Recovered rows are the ones
+      // at RecoveryPriority, so the common case is a pure append: the
+      // payload table accumulates immutable base files with ZERO deltas
+      // and never needs compaction — at design scale the 100 TB payload
+      // is append-only in steady state (periodic full rewrites of the
+      // corpus table were the r3 100k-drain's growth term). Only a
+      // post-crash batch pays the delta/merge machinery.
+      val hasReplay = {
+        val m = claimed.agg(min("priority")).head
+        !m.isNullAt(0) && m.getInt(0) == FrontierState.RecoveryPriority
+      }
       payloadFuture =
         if (nOk == 0) null
         else commitPool.submit(new Runnable {
           override def run(): Unit = phase("payload-commit") {
-            payload.commitUpsert(processed.filter(_.ok)
+            val rows = processed.filter(_.ok)
               .map(p => PayloadRow(p.image_id, p.bytes, p.w, p.h, p.fmt,
                 p.caption, p.phash,
                 bytes_md5 = graft.util.Hashing.md5OfHex(p.bytes),
@@ -436,8 +450,11 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
                 p.subs_quality, p.utilization_rate, p.good_pieces,
                 p.total_pieces))
               .toDF()
-              .coalesce(8),
-              Map("batch" -> batchNo.toDouble))
+              .coalesce(8)
+            if (hasReplay)
+              payload.commitUpsert(rows, Map("batch" -> batchNo.toDouble))
+            else
+              payload.commitAppend(rows, Map("batch" -> batchNo.toDouble))
           }
         })
 

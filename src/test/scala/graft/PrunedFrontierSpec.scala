@@ -159,6 +159,23 @@ class PrunedFrontierSpec extends AnyFunSuite {
       "frozen terminal base files were rewritten by partial compaction")
   }
 
+  test("clean drain keeps the payload table append-only (zero delta files)") {
+    val eng = new CrawlEngine(spark, freshDir(),
+      CrawlConfig(batchSize = 256, universe = 400))
+    eng.init(150)
+    eng.drain()
+    val files = eng.payload.currentManifest.get.files
+    assert(files.nonEmpty)
+    // no crash ⇒ every image_id is a new key ⇒ pure appends: the 100 TB
+    // corpus table accumulates immutable base files and never compacts
+    assert(files.forall(_.kind == "base"),
+      s"payload has delta files after a clean drain: ${files.filter(_.kind != "base").map(_.path)}")
+    // and the keys really are unique (the append contract readKeys leans on)
+    val n = eng.payload.read().count()
+    val nDistinct = eng.payload.read().select("image_id").distinct().count()
+    assert(n === nDistinct)
+  }
+
   test("dedup gate: broadcast-candidates plan is byte-identical to the plain plan") {
     import spark.implicits._
     val r = new scala.util.Random(77)
