@@ -154,8 +154,10 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  val q23Sql: String =
-    s"""WITH $shingleCte,
+  /** The full shingle→minhash→band→bucket-join pipeline as CTEs, shared
+    * by q23 (the pairs themselves) and q45 (clusters over the pairs). */
+  private val lshPairCtes: String =
+    s"""$shingleCte,
        |sig AS (
        |  SELECT doc_id, i, min(md5(concat(cast(i as varchar), '|', sh))) AS minhash
        |  FROM shingles, (SELECT unnest(generate_series(0, 7)) AS i)
@@ -164,10 +166,15 @@ object Dedup {
        |  SELECT doc_id, cast(i // 2 as int) AS band,
        |    concat(min(CASE WHEN i % 2 = 0 THEN minhash END), '|',
        |           min(CASE WHEN i % 2 = 1 THEN minhash END)) AS band_sig
-       |  FROM sig GROUP BY 1, 2)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM band_sig a JOIN band_sig b
-       |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id""".stripMargin
+       |  FROM sig GROUP BY 1, 2),
+       |lsh_pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM band_sig a JOIN band_sig b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  val q23Sql: String =
+    s"""WITH $lshPairCtes
+       |SELECT doc_a, doc_b FROM lsh_pairs""".stripMargin
 
   /** SimHash (16-bit): per-token 60-bit hash, bit-majority vote weighted
     * by token multiplicity. */
@@ -214,6 +221,97 @@ object Dedup {
        |        FROM documents WHERE length(text) >= 8))
        |GROUP BY doc_id""".stripMargin
 
+  /** Dedup clusters: connected components over the LSH candidate pairs
+    * (q23) by iterative min-label propagation, then canonical-doc
+    * selection — the "pairs → clusters → keep one" step that turns
+    * near-dup candidates into an actual dedup decision. Every document
+    * is a node (docs in no pair are singleton clusters and kept), the
+    * cluster id is the component's min doc_id, and exactly one doc per
+    * cluster has keep = true.
+    *
+    * Scale shape (100 TB): the edge set is the LSH candidate pairs —
+    * orders of magnitude smaller than the corpus, since only near-dup
+    * candidates ever appear. Each round is one shuffle-on-key join
+    * (edges ⋈ labels) + one groupBy — no all-pairs, no broadcast of
+    * anything unbounded — and rounds are bounded by component diameter,
+    * which for near-dup clusters is tiny (docs in one cluster share
+    * band signatures transitively). localCheckpoint() per round
+    * truncates the lineage: the classic iterative-Spark failure mode is
+    * an exponentially growing plan, not the data. The upgrade path for
+    * adversarial graphs (long chains) is large-star/small-star
+    * alternation [Kiveris et al., "Connected Components in MapReduce"],
+    * which cuts rounds to O(log n) with the same per-round join shape.
+    * Convergence is detected by the label-sum fixpoint: labels only
+    * ever decrease, so the sum strictly decreases until fixed — one
+    * driver-side Long per round (Pregel-style), never a collect of
+    * rows. */
+  def q45DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = q23MinhashLsh(s, d)
+    val nodes = documents(s, d).select("doc_id")
+    val labels = connectedComponents(nodes, pairs, "doc_a", "doc_b")
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("doc_id") === col("label")).as("keep"))
+  }
+
+  /** Min-label propagation to fixpoint: every node ends with the
+    * smallest node id in its connected component. `nodes` must carry a
+    * long `doc_id` column; `pairs` the two endpoint columns (undirected,
+    * endpoints need not appear in any particular order). Returned frame:
+    * (doc_id, label). Reusable over any candidate-pair source (LSH
+    * bands, phash buckets, embedding buckets). */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint()
+    var labels = nodes
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("label")).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("u"), col("label").as("ulabel")), "u")
+        .groupBy("v").agg(min("ulabel").as("nlabel"))
+        .withColumnRenamed("v", "doc_id")
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s2 = labelSum(next)
+      converged = s2 == prevSum
+      prevSum = s2
+      labels = next
+    }
+    labels
+  }
+
+  /** DuckDB twin: transitive closure by recursive CTE — reach(node,
+    * label) enumerates every label that can reach node through the
+    * undirected pair edges; min per node is the component min, i.e.
+    * exactly the propagation fixpoint the Spark loop computes. */
+  val q45Sql: String =
+    s"""WITH RECURSIVE $lshPairCtes,
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+       |  UNION ALL
+       |  SELECT doc_b AS u, doc_a AS v FROM lsh_pairs),
+       |reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+       |cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+       |SELECT cc.doc_id, cc.cluster_id, sizes.cluster_size,
+       |  cc.doc_id = cc.cluster_id AS keep
+       |FROM cc JOIN sizes USING (cluster_id)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"     -> q20DedupExact _,
     "q21_ngram_jaccard"   -> q21NgramJaccard _,
@@ -221,6 +319,7 @@ object Dedup {
     "q23_minhash_lsh"     -> q23MinhashLsh _,
     "q24_simhash"         -> q24Simhash _,
     "q25_doc_fingerprint" -> q25DocFingerprint _,
+    "q45_dedup_clusters"  -> q45DedupClusters _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -230,5 +329,6 @@ object Dedup {
     "q23_minhash_lsh"     -> q23Sql,
     "q24_simhash"         -> q24Sql,
     "q25_doc_fingerprint" -> q25Sql,
+    "q45_dedup_clusters"  -> q45Sql,
   )
 }

@@ -88,4 +88,38 @@ class QueriesSpec extends AnyFunSuite {
       .count().filter(col("count") =!= 1).count()
     assert(bad === 0)
   }
+
+  test("connected components: min-label propagation on a known graph") {
+    import spark.implicits._
+    // components: {1,2,3,7} (chain 7-3-2-1 exercises multi-round
+    // propagation), {4,5}, singleton {6}
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (3L, 2L), (7L, 3L), (4L, 5L)).toDF("a", "b")
+    val got = graft.queries.Dedup.connectedComponents(nodes, pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("q45 clusters are consistent with q23 pairs and keep one doc per cluster") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val cc = SparkEntry.queries("q45_dedup_clusters")(spark, d).cache()
+    // exactly one keep per cluster, and it is the cluster id itself
+    val keeps = cc.filter(col("keep"))
+    assert(keeps.count() === cc.select("cluster_id").distinct().count())
+    assert(keeps.filter(col("doc_id") =!= col("cluster_id")).count() === 0)
+    // cluster_size matches the actual group size
+    val badSize = cc.groupBy("cluster_id", "cluster_size")
+      .agg(count(lit(1)).as("n")).filter(col("n") =!= col("cluster_size")).count()
+    assert(badSize === 0)
+    // every q23 pair ends up in one cluster
+    val pairs = SparkEntry.queries("q23_minhash_lsh")(spark, d)
+    val split = pairs
+      .join(cc.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")), "doc_a")
+      .join(cc.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")), "doc_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(split === 0, "a candidate pair was split across clusters")
+    cc.unpersist()
+  }
 }
