@@ -153,13 +153,14 @@ object Bench {
     // throughput holds as the frontier/seen set fill toward design scale
     val drainBatch = sys.env.getOrElse("SPARK_GRAFT_DRAIN_BATCH", "8192").toInt
     val seenMode = sys.env.getOrElse("SPARK_GRAFT_SEEN_MODE", "auto")
-    def runDrain(seeds: Int): (Long, Long, Double) = {
-      val drainDir = s"/tmp/graft_bench_drain_${cpus}_$seeds"
+    def runDrain(seeds: Int, claimMode: String = "window"): (Long, Long, Double) = {
+      val drainDir = s"/tmp/graft_bench_drain_${cpus}_${seeds}_$claimMode"
       rmrf(drainDir)
       val s = session(cpus)
       try {
         val eng = new graft.crawl.CrawlEngine(s, drainDir,
-          graft.crawl.CrawlConfig(batchSize = drainBatch, seenMode = seenMode))
+          graft.crawl.CrawlConfig(batchSize = drainBatch, seenMode = seenMode,
+            claimMode = claimMode))
         val d0 = System.nanoTime()
         eng.init(seeds)
         val (batches, processed) = eng.drain()
@@ -170,6 +171,15 @@ object Bench {
     val largeDrain =
       if (drainSeedsLarge > 0 && drainSeedsLarge != drainSeeds)
         Some((drainSeedsLarge, runDrain(drainSeedsLarge)))
+      else None
+    // the exchange-free bucketed claim path (the multi-executor layout):
+    // measured at the standard fill so the file-count-vs-shuffle trade is
+    // in the artifact of record; 0 disables
+    val drainSeedsBucketed =
+      sys.env.getOrElse("SPARK_GRAFT_DRAIN_SEEDS_BUCKETED", drainSeeds.toString).toInt
+    val bucketedDrain =
+      if (drainSeedsBucketed > 0)
+        Some((drainSeedsBucketed, runDrain(drainSeedsBucketed, claimMode = "bucketed")))
       else None
 
     // 3+4. scaling pairs (interleaved medians) + allocation-free controls
@@ -193,10 +203,13 @@ object Bench {
     val largeJson = largeDrain.map { case (seeds, (b, p, w)) =>
       f""""frontier_drain_large":{"seeds":$seeds,"urls_processed":$p,"batches":$b,"wall_sec":$w%.3f,"urls_per_sec":${p / w}%.1f,"fresh_session":true},"""
     }.getOrElse("")
+    val bucketedJson = bucketedDrain.map { case (seeds, (b, p, w)) =>
+      f""""frontier_drain_bucketed":{"seeds":$seeds,"urls_processed":$p,"batches":$b,"wall_sec":$w%.3f,"urls_per_sec":${p / w}%.1f,"fresh_session":true,"claim_mode":"bucketed"},"""
+    }.getOrElse("")
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","engine_build_sec":$engineBuildSec%.3f,""" +
       f""""frontier_drain":{"seeds":$drainSeeds,"urls_processed":$processed,"batches":$batches,"wall_sec":$drainWall%.3f,"urls_per_sec":${processed / drainWall}%.1f,"fresh_session":true,"seen_mode":"$seenMode","drain_batch":$drainBatch,"skip_queries":$skipQueries},""" +
-      largeJson +
+      largeJson + bucketedJson +
       f""""scaling":{"job":"fetch+process $scaleN urls","method":"interleaved median of $scaleReps",""" +
       f""""wall_local4":$wall4%.3f,"wall_local16":$wall16%.3f,"efficiency_4_to_16":$eff416%.3f,""" +
       f""""wall_local8":$wall8%.3f,"wall_local32":$wall32%.3f,"efficiency_8_to_32":$eff832%.3f,""" +

@@ -55,6 +55,12 @@ object Verify {
       pRaw.drop("pieces") // lean: no oracle reads pieces
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$dumpsAbs/dump_payload_raw")
+      // q46 time travel: the HISTORICAL manifest's raw files — DuckDB
+      // resolves the as-of state itself, checking snapshot pinning and
+      // historical resolution independently of readAt
+      eng.frontier.readRawAt(graft.crawl.Flagship.asofId(eng))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dumpsAbs/dump_frontier_asof_raw")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] engine dumps failed: ${e.getMessage}")
     }

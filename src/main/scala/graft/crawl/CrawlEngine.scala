@@ -33,7 +33,12 @@ final case class CrawlConfig(
     shardBuckets: Int = 1 << 14, // 16k buckets × 4 slots ≈ 55k fps/shard
     targetPerTask: Int = 64,   // skew-salt threshold
     compactEvery: Int = 4,
-    seenMode: String = "auto") // seen-set path: broadcast | join | auto
+    seenMode: String = "auto",  // seen-set path: broadcast | join | auto
+    claimMode: String = "window", // window | bucketed (host-bucketed files,
+                                  // exchange-free claim — the multi-executor
+                                  // layout; costs more files/commit, so the
+                                  // sandbox default stays "window")
+    claimBuckets: Int = 16)
 
 /** The iterative micro-batch crawl driver (C2, parse_youtube.py:20-54
   * recast): claim → fetch/process → commit, until the frontier drains.
@@ -78,7 +83,12 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     * instead of the full table (VERDICT r2 missing #1). */
   val frontier = new SnapshotTable(spark, s"$workDir/frontier", "fp",
     tagCol = Some("state"),
-    frozenTags = Set(FrontierState.Processed, FrontierState.Failed))
+    frozenTags = Set(FrontierState.Processed, FrontierState.Failed),
+    // bucketed claim mode: files additionally split by pmod(hash(host), B)
+    // so the claim is bucket-local (no exchange at all); a key's host —
+    // hence bucket — never changes, so resolution stays bucket-closed
+    bucketBy = if (cfg.claimMode == "bucketed") Some(("host", cfg.claimBuckets))
+               else None)
   val payload  = new SnapshotTable(spark, s"$workDir/payload", "image_id")
   val seenTbl  = new SnapshotTable(spark, s"$workDir/seen", "shard")
   /** The keyword-search queue — the reference's SECOND persistent queue
@@ -361,14 +371,23 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     // PRUNED claim read: resolves only pending-tagged files (+ key
     // columns of since-compaction deltas for shadowing) — terminal base
     // files, the table's bulk at design scale, are never opened
-    // (SnapshotTable.readStates; PrunedFrontierSpec asserts the subset)
-    val pending = frontier.readStates(Set(FrontierState.Pending)).cache()
+    // (SnapshotTable.readStates; PrunedFrontierSpec asserts the subset).
+    // Bucketed mode goes further: host-bucketed files let the whole
+    // claim (resolution + politeness + top-B) run bucket-local with
+    // zero exchanges (Frontier.claimBucketedBySynthPolicy).
+    val bucketed = cfg.claimMode == "bucketed"
+    val pending =
+      if (bucketed) null
+      else frontier.readStates(Set(FrontierState.Pending)).cache()
     var claimed: DataFrame = null
     var payloadFuture: java.util.concurrent.Future[_] = null
     var payloadJoined = false
     try {
-      claimed = Frontier.claimBySynthPolicy(pending, cfg.seed,
-        cfg.batchSize, cfg.batchMs).cache()
+      claimed = (if (bucketed)
+        Frontier.claimBucketedBySynthPolicy(frontier, spark, cfg.seed,
+          cfg.batchSize, cfg.batchMs)
+      else Frontier.claimBySynthPolicy(pending, cfg.seed,
+        cfg.batchSize, cfg.batchMs)).cache()
       val nClaimed = phase("claim")(claimed.count())
       if (nClaimed == 0) return 0L
 
@@ -515,7 +534,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
           System.err.println(s"[crawl] payload commit failed during batch abort: $e")
         }
       }
-      pending.unpersist()
+      if (pending != null) pending.unpersist()
       if (claimed != null) claimed.unpersist()
     }
   }

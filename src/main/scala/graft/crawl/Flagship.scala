@@ -118,6 +118,23 @@ object Flagship {
   def globalStats(spark: SparkSession, sfDir: String): DataFrame =
     engine(spark, sfDir).globalStats
 
+  /** The historical snapshot q46 travels to: a few commits back, always
+    * within the expire(keepLast=8) retention window. Deterministic —
+    * the drain is deterministic, so currentId is too. */
+  def asofId(eng: CrawlEngine): Long =
+    math.max(0L, eng.frontier.currentId.getOrElse(0L) - 3L)
+
+  /** q46 time travel: the frontier RESOLVED as of a retained historical
+    * snapshot (readAt = snapshot isolation over base+delta manifests,
+    * Q4/S3's rollback story). The DuckDB oracle re-derives the SAME
+    * historical state latest-wins from a dump of that manifest's raw
+    * file list — so the gate checks both the snapshot pinning (which
+    * files) and the resolution (which versions win) independently. */
+  def frontierAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val eng = engine(spark, sfDir)
+    eng.frontier.readAt(asofId(eng))
+  }
+
   /** Perceptual near-duplicate images: band the 64-bit phash into
     * 4×16-bit keys, equi-join on any band (never all-pairs), then
     * verify with the codegen'd hamming64 expression (≤ 6 bits apart).

@@ -58,6 +58,69 @@ object Frontier {
       .limit(batchSize)
   }
 
+  /** Exchange-free claim over a HOST-BUCKETED frontier table (the
+    * 1000-executor layout README.md promises): storage already splits
+    * files by `pmod(hash(host), B)`, a key's host never changes, so one
+    * task per bucket can do EVERYTHING locally — merge-on-read
+    * resolution (latest `__delta_seq` per fp), the pending filter, the
+    * per-host politeness budget, and the bucket-local top-`batchSize` —
+    * with plain in-memory maps. The per-bucket winners then meet in a
+    * single TakeOrderedAndProject. The whole claim plans with ZERO
+    * shuffle exchanges (asserted by BucketedClaimSpec), versus the
+    * window path's two (resolution by fp + politeness rank by host).
+    *
+    * Correctness: output is row-identical to
+    * `claimBySynthPolicy(readStates(pending))` (equivalence-tested) —
+    * per-host rank is bucket-local because hosts never straddle
+    * buckets, and the global top-B of per-bucket top-Bs equals the
+    * global top-B. Memory: one task holds one bucket's PENDING rows
+    * (+ its since-compaction delta shadows); B is chosen so that fits
+    * the task budget — at 10^10 pending × ~100 B/row, B = 8192 puts
+    * ~120 MB per task. Ordering inside a task sorts the bucket: the
+    * same O(n log n) the window path's sort-based exchange pays, minus
+    * the network. */
+  def claimBucketedBySynthPolicy(tbl: graft.table.SnapshotTable,
+                                 spark: SparkSession, seed: Long,
+                                 batchSize: Int, batchMs: Long): DataFrame = {
+    import spark.implicits._
+    val scans = tbl.bucketedStateScan(Set(FrontierState.Pending))
+    if (scans.isEmpty) return spark.emptyDataset[FrontierEntry].toDF()
+    val cols = Seq("fp", "url", "host", "priority", "seq", "state", "error",
+      "discoveredAt", "processedAt", "__delta_seq", "__cand")
+    val combined = scans.map(_._2).map(_.select(cols.map(col): _*))
+      .reduce(_ unionByName _) // one partition per bucket — no exchange
+    val perBucket = combined.mapPartitions { it =>
+      // latest version per fp wins (merge-on-read, bucket-closed)
+      val latest = new scala.collection.mutable.HashMap[Long, (Long, Boolean, FrontierEntry)]
+      it.foreach { r =>
+        val fp = r.getLong(0); val ds = r.getLong(9)
+        if (!latest.get(fp).exists(_._1 >= ds))
+          latest(fp) = (ds, r.getBoolean(10), FrontierEntry(fp, r.getString(1),
+            r.getString(2), r.getInt(3), r.getLong(4), r.getString(5),
+            r.getString(6), r.getLong(7), r.getLong(8)))
+      }
+      // politeness budget in claim order, then bucket-local top-B
+      val pending = latest.valuesIterator.collect { case (_, true, e) => e }.toArray
+      java.util.Arrays.sort(pending, Ordering.by((e: FrontierEntry) => (e.priority, e.seq)))
+      val hostUsed = new scala.collection.mutable.HashMap[String, Long]
+      val hostCap = new scala.collection.mutable.HashMap[String, Long]
+      val out = new scala.collection.mutable.ArrayBuffer[FrontierEntry]
+      var i = 0
+      while (i < pending.length && out.length < batchSize) {
+        val e = pending(i)
+        val cap = hostCap.getOrElseUpdate(e.host,
+          math.max(1L, batchMs / Synth.hostPolicy(e.host, seed).crawlDelayMs))
+        val used = hostUsed.getOrElse(e.host, 0L)
+        if (used < cap) { hostUsed(e.host) = used + 1; out += e }
+        i += 1
+      }
+      out.iterator
+    }
+    // global winners: top-B by (priority, seq) — TakeOrderedAndProject,
+    // still no exchange
+    perBucket.orderBy("priority", "seq").limit(batchSize).toDF()
+  }
+
   /** Hot-host skew salting for the fetch stage (north rule): hosts with
     * more claimed rows than `targetPerTask` get `ceil(n/target)` salts;
     * repartitioning on (host, salt) spreads them across tasks. */

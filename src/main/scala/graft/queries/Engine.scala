@@ -30,6 +30,7 @@ object Engine {
     "q36_media_features"  -> (Flagship.mediaFeatures _),
     "q37_global_stats"    -> (Flagship.globalStats _),
     "q44_media_invariants" -> (Flagship.mediaInvariants _),
+    "q46_time_travel"     -> (Flagship.frontierAsof _),
   )
 
   /** Latest-wins resolution of a raw snapshot-table dump — the DuckDB
@@ -145,6 +146,17 @@ object Engine {
        |  cast(768 AS bigint) AS frames_px
        |FROM p""".stripMargin
 
+  /** q46 time travel: Verify dumps the HISTORICAL manifest's raw file
+    * list (readRawAt), and DuckDB resolves that state latest-wins — the
+    * same resolver as q30, over a different (pinned, older) file set.
+    * Any error in snapshot pinning or historical resolution breaks the
+    * hash. */
+  val q46Sql: String =
+    s"""WITH f AS (${resolved("dump_frontier_asof_raw", "fp")})
+       |SELECT fp, url, host, priority, seq, state, error,
+       |  discoveredAt, processedAt
+       |FROM f""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q30_crawl_order"    -> q30Sql,
     "q31_crawl_media"    -> q31Sql,
@@ -154,5 +166,6 @@ object Engine {
     "q35_phash_neardup"  -> q35Sql,
     "q37_global_stats"   -> q37Sql,
     "q44_media_invariants" -> q44Sql,
+    "q46_time_travel"    -> q46Sql,
   )
 }

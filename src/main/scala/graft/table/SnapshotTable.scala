@@ -42,6 +42,19 @@ import scala.jdk.CollectionConverters._
   * files hold disjoint key sets and deltas only reference keys that
   * exist in some base.
   *
+  * Bucketed files (`bucketBy` = (column, n)): every write additionally
+  * splits files by `pmod(hash(column), n)` and records the bucket in
+  * the manifest — Iceberg's bucket partition transform. When the
+  * bucketing column FUNCTIONALLY DETERMINES the key's co-access group
+  * (frontier: fp → url → host, and a key's host never changes), both
+  * merge-on-read resolution and any per-group computation are
+  * bucket-local, so `bucketedStateScan` can hand each bucket to one
+  * task and the consumer needs NO exchange at all (the claim path's
+  * politeness rank runs entirely in-task). Min/max key stats are still
+  * recorded per file but deliberately unused for pruning: keys are
+  * uniform hashes, so ranges never discriminate — bucketing is the
+  * pruning dimension that works for hash keys.
+  *
   * Commit protocol (single-writer = the driver, same linearization the
   * reference got from its writer thread, utils/csv_utils.py:105-173):
   * write data files → write manifest json → atomic-rename CURRENT.
@@ -52,11 +65,14 @@ import scala.jdk.CollectionConverters._
   */
 final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
                           tagCol: Option[String] = None,
-                          frozenTags: Set[String] = Set.empty) {
+                          frozenTags: Set[String] = Set.empty,
+                          bucketBy: Option[(String, Int)] = None) {
 
   import SnapshotTable._
 
   private val root: Path = Paths.get(dir)
+  /** Filesystem root of the table (manifest `path`s are relative to it). */
+  def tableRoot: String = dir
   private val dataDir = root.resolve("data")
   private val snapDir = root.resolve("snapshots")
   Files.createDirectories(dataDir)
@@ -164,6 +180,45 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
       .select(cols: _*)
   }
 
+  /** Per-bucket pruned state scan for bucket-local consumers: for each
+    * bucket with wanted-tag files, ONE single-partition DataFrame
+    * holding the bucket's wanted-tag rows (full columns, `__cand` true)
+    * plus its other-tag DELTA rows (they shadow wanted rows by key;
+    * `__cand` false), each row carrying `__delta_seq`. Other-tag BASE
+    * files are skipped exactly like `readStates`. Because a key's
+    * bucket never changes (bucket = hash of a key-determined column),
+    * merge-on-read resolution is closed within the bucket, so a
+    * downstream `mapPartitions` gets one task per bucket with
+    * everything it needs — no exchange. Shadow rows are read in full
+    * rather than key-only: they are since-compaction deltas, small by
+    * the compaction invariant, and the simpler scan keeps the per-task
+    * logic uniform. */
+  def bucketedStateScan(wantTags: Set[String]): Seq[(Int, DataFrame)] = {
+    require(tagCol.isDefined && bucketBy.isDefined,
+      "bucketedStateScan requires tagCol and bucketBy")
+    val m = currentManifest.getOrElse(return Seq.empty)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    require(m.files.forall(_.bucket >= 0),
+      s"bucketedStateScan over a table with unbucketed files")
+    m.files.groupBy(_.bucket).toSeq.sortBy(_._1).flatMap { case (b, fs) =>
+      val wanted = fs.filter(f => wantTags(f.tag)).map(f => (f, true))
+      val shadows = fs.filter(f => !wantTags(f.tag) && f.kind == "delta")
+        .map(f => (f, false))
+      if (wanted.isEmpty) None
+      else {
+        val df = (wanted ++ shadows)
+          .groupBy { case (f, c) => (f.deltaSeq, c) }.toSeq.sortBy(_._1)
+          .map { case ((seq, c), group) =>
+            spark.read.schema(schema)
+              .parquet(group.map { case (f, _) => root.resolve(f.path).toString }: _*)
+              .withColumn("__delta_seq", lit(seq))
+              .withColumn("__cand", lit(c))
+          }.reduce(_ unionByName _)
+        Some(b -> df.coalesce(1))
+      }
+    }
+  }
+
   /** Every key in the table — base files only (appends introduce all
     * keys; deltas only revise them), no resolution window, single
     * pruned column. The dedup gate's exact tier reads this. */
@@ -187,14 +242,24 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
     * the driver checks our resolution logic, not just our projection. */
   def readRaw(): DataFrame = currentManifest match {
     case None => spark.emptyDataFrame
-    case Some(m) if m.files.isEmpty => spark.emptyDataFrame
-    case Some(m) =>
+    case Some(m) => readRawOf(m)
+  }
+
+  /** Raw view of a HISTORICAL snapshot (time travel): the manifest's
+    * own file list, so a resolver over this dump reproduces the table
+    * exactly as of snapshot `id`. Valid for any snapshot `expire` has
+    * retained — retained manifests pin their data files. */
+  def readRawAt(id: Long): DataFrame = readRawOf(manifest(id))
+
+  private def readRawOf(m: Manifest): DataFrame =
+    if (m.files.isEmpty) spark.emptyDataFrame
+    else {
       val schema = StructType.fromDDL(m.schemaDdl)
       m.files.groupBy(_.deltaSeq).toSeq.sortBy(_._1).map { case (seq, fs) =>
         spark.read.schema(schema).parquet(fs.map(f => root.resolve(f.path).toString): _*)
           .withColumn("__delta_seq", lit(seq))
       }.reduce(_ unionByName _)
-  }
+    }
 
   /** Append new rows (new keys) as base files. */
   def commitAppend(df: DataFrame, metrics: Map[String, Double] = Map.empty,
@@ -280,48 +345,51 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
                         deltaSeq: Long): Seq[FileEntry] = {
     val tmp = Files.createTempDirectory(root, s".stage-$snapId-")
     try {
-      tagCol match {
-        case Some(tc) =>
-          // duplicate the tag column: partitionBy drops the partition
-          // column from data files, but readers want the real column
-          df.withColumn("__tag", col(tc))
-            .write.mode("overwrite").partitionBy("__tag").parquet(tmp.toString)
-        case None =>
-          df.write.mode("overwrite").parquet(tmp.toString)
+      // duplicate partition columns: partitionBy drops them from data
+      // files, but readers want the real columns in-row
+      var out = df
+      tagCol.foreach(tc => out = out.withColumn("__tag", col(tc)))
+      bucketBy.foreach { case (src, n) =>
+        out = out.withColumn("__bucket", pmod(hash(col(src)), lit(n)))
       }
-      val parts: Seq[(String, Path)] = tagCol match {
-        case Some(_) =>
-          Files.list(tmp).iterator().asScala
-            .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("__tag="))
-            .flatMap { d =>
-              val tag = java.net.URLDecoder.decode(
-                d.getFileName.toString.stripPrefix("__tag="), "UTF-8")
-              Files.list(d).iterator().asScala
-                .filter(_.getFileName.toString.endsWith(".parquet"))
-                .map(tag -> _).toSeq
-            }.toSeq.sortBy { case (t, p) => (t, p.getFileName.toString) }
-        case None =>
-          Files.list(tmp).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-            .sortBy(_.getFileName.toString).map("" -> _)
-      }
-      val moved = parts.zipWithIndex.map { case ((tag, p), i) =>
+      val partCols = tagCol.map(_ => "__tag").toSeq ++
+        bucketBy.map(_ => "__bucket").toSeq
+      if (partCols.isEmpty) out.write.mode("overwrite").parquet(tmp.toString)
+      else out.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
+      val parts: Seq[(String, Int, Path)] =
+        Files.walk(tmp).iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map { p =>
+            val rel = tmp.relativize(p)
+            var tag = ""; var bucket = -1
+            (0 until rel.getNameCount - 1).foreach { i =>
+              val seg = rel.getName(i).toString
+              if (seg.startsWith("__tag="))
+                tag = java.net.URLDecoder.decode(seg.stripPrefix("__tag="), "UTF-8")
+              else if (seg.startsWith("__bucket="))
+                bucket = seg.stripPrefix("__bucket=").toInt
+            }
+            (tag, bucket, p)
+          }.toSeq.sortBy { case (t, b, p) => (t, b, p.getFileName.toString) }
+      val moved = parts.zipWithIndex.map { case ((tag, bucket, p), i) =>
         val tagPart = if (tag.isEmpty) "" else "-" + tag.filter(_.isLetterOrDigit)
-        val name = f"snap-$snapId%06d-$kind$tagPart-part-$i%05d.parquet"
+        val bucketPart = if (bucket < 0) "" else s"-b$bucket"
+        val name = f"snap-$snapId%06d-$kind$tagPart$bucketPart-part-$i%05d.parquet"
         val dest = dataDir.resolve(name)
         Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-        (tag, name, dest)
+        (tag, bucket, name, dest)
       }
       // footer reads are independent metadata IO — serial reads were a
       // measurable slice of the per-batch fixed cost at 32-file commits;
       // the pool is shared (a crawl batch commits 5-6 times — per-commit
       // pool churn would be thousands of short-lived threads per drain)
-      moved.map { case (tag, name, dest) =>
+      moved.map { case (tag, bucket, name, dest) =>
         SnapshotTable.footerPool.submit(new java.util.concurrent.Callable[FileEntry] {
           override def call(): FileEntry = {
             val (rows, minK, maxK) = footerStats(dest)
             FileEntry(s"data/$name", kind, deltaSeq, rows, Files.size(dest),
-              minK, maxK, tag)
+              minK, maxK, tag, bucket)
           }
         })
       }.map(_.get())
@@ -396,7 +464,8 @@ object SnapshotTable {
 
   final case class FileEntry(path: String, kind: String, deltaSeq: Long,
                              rows: Long, bytes: Long, minKey: String,
-                             maxKey: String, tag: String = "")
+                             maxKey: String, tag: String = "",
+                             bucket: Int = -1)
 
   /** The file-pruning plan `readStates` executes — exposed so tests can
     * assert a claim read opens a strict subset of the table's files.
@@ -419,7 +488,7 @@ object SnapshotTable {
       val fs = files.map(f =>
         s"""{"path":"${esc(f.path)}","kind":"${f.kind}","deltaSeq":${f.deltaSeq},""" +
         s""""rows":${f.rows},"bytes":${f.bytes},"minKey":"${esc(f.minKey)}",""" +
-        s""""maxKey":"${esc(f.maxKey)}","tag":"${esc(f.tag)}"}""")
+        s""""maxKey":"${esc(f.maxKey)}","tag":"${esc(f.tag)}","bucket":${f.bucket}}""")
         .mkString("[", ",", "]")
       val ms = metrics.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
@@ -440,7 +509,8 @@ object SnapshotTable {
         FileEntry(f.get("path").asText(), f.get("kind").asText(),
           f.get("deltaSeq").asLong(), f.get("rows").asLong(),
           f.get("bytes").asLong(), f.get("minKey").asText(), f.get("maxKey").asText(),
-          if (f.has("tag")) f.get("tag").asText() else "")
+          if (f.has("tag")) f.get("tag").asText() else "",
+          if (f.has("bucket")) f.get("bucket").asInt() else -1)
       }.toSeq
       val metrics = node.get("metrics").properties().asScala
         .map(e => e.getKey -> e.getValue.asDouble()).toMap
