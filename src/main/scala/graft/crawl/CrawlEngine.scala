@@ -235,7 +235,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
         .toDF("query", "seq", "state"))
     // same table hygiene as the crawl tables: bound read amplification
     // and snapshot accumulation over long keyword drains
-    if (keywords.compactIfNeeded(maxDeltaFiles = 6).isDefined)
+    if (keywords.compactIfNeeded(maxDeltaCommits = 6).isDefined)
       keywords.expire(keepLast = 8)
     (claimed.length.toLong, n)
   }
@@ -275,13 +275,17 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       .withColumn("seq", lit(base) + col("__rn") - 1)
       .withColumn("priority", lit(Frontier.NormalPriority))
       .select("url", "priority", "seq").as[SeedUrl]
+    // boundedCandidates stays OFF: this is the unbounded-backlog path
+    // (a million-query expansion), exactly the caller dedupGate's
+    // broadcast-candidates contract excludes — the plain anti-join
+    // shuffles but never materializes the candidate set on the driver
     val n = enqueue(Frontier.toEntries(spark, seeds, batchNo = 0L, cfg.seed),
-      batchNo = 0L, boundedCandidates = true)
+      batchNo = 0L)
     keywords.commitUpsert(claimed
       .withColumn("state", lit("searched"))
       .select("query", "seq", "state"))
     claimed.unpersist()
-    if (keywords.compactIfNeeded(maxDeltaFiles = 6).isDefined)
+    if (keywords.compactIfNeeded(maxDeltaCommits = 6).isDefined)
       keywords.expire(keepLast = 8)
     (nq, n)
   }
@@ -376,9 +380,13 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     // claim (resolution + politeness + top-B) run bucket-local with
     // zero exchanges (Frontier.claimBucketedBySynthPolicy).
     val bucketed = cfg.claimMode == "bucketed"
+    // NOT cached: its single consumer is `claimed`, which is cached
+    // itself — r2's cache fed three consumers (maxSeq agg, key scan),
+    // both since moved to the manifest prop / readKeys, so a cache here
+    // would only pin dead blocks for the rest of the batch
     val pending =
       if (bucketed) null
-      else frontier.readStates(Set(FrontierState.Pending)).cache()
+      else frontier.readStates(Set(FrontierState.Pending))
     var claimed: DataFrame = null
     var payloadFuture: java.util.concurrent.Future[_] = null
     var payloadJoined = false
@@ -516,11 +524,11 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // remove_extra_data_for_processed.py) — without this a long drain
       // accumulates every snapshot json + data file forever. keepLast=8
       // retains enough history for restore() while bounding disk.
-      if (frontier.compactIfNeeded(maxDeltaFiles = 6).isDefined)
+      if (frontier.compactIfNeeded(maxDeltaCommits = 6).isDefined)
         frontier.expire(keepLast = 8)
-      if (seenTbl.compactIfNeeded(maxDeltaFiles = 6).isDefined)
+      if (seenTbl.compactIfNeeded(maxDeltaCommits = 6).isDefined)
         seenTbl.expire(keepLast = 8)
-      if (payload.compactIfNeeded(maxDeltaFiles = 12).isDefined)
+      if (payload.compactIfNeeded(maxDeltaCommits = 12).isDefined)
         payload.expire(keepLast = 8)
       nClaimed
     } finally {
@@ -534,7 +542,6 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
           System.err.println(s"[crawl] payload commit failed during batch abort: $e")
         }
       }
-      if (pending != null) pending.unpersist()
       if (claimed != null) claimed.unpersist()
     }
   }

@@ -88,11 +88,14 @@ object Flagship {
   /** q44: decode-path INVARIANTS the DuckDB oracle predicts from the
     * independently-stored metadata in the payload dump (the partial
     * oracle for the physically un-oracle-able q36): decoded dims ==
-    * stored (w,h); integer luma-hist bin sum == w·h (every pixel binned
-    * exactly once); an 8×8 bilinear resize re-decodes to exactly 8×8;
-    * the 3-frame sample stub yields 3·16·16 px of decodable PNG. Full
-    * row/schema/hash compare — any decode/resize/binning defect breaks
-    * the hash. Failures encode as -1, never as a plausible value. */
+    * stored (w,h); decoded pixel-raster size == w·h (a truncated or
+    * corrupt decode breaks it); an 8×8 bilinear resize re-decodes to
+    * exactly 8×8; the 3-frame sample stub yields 3·16·16 px of
+    * decodable PNG. Full row/schema/hash compare — decode, resize, and
+    * raster-extraction defects break the hash. (The luma formula and
+    * bin mapping are NOT gated: no metadata-predictable value can see
+    * inside the binning — that part stays rows-only via q36.) Failures
+    * encode as -1, never as a plausible value. */
   def mediaInvariants(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.image.ImageOps

@@ -57,21 +57,20 @@ object ImageOps {
       Some(bins.map(_ / px.length).toSeq)
     } catch { case _: Throwable => None }
 
-  /** Integer luma-histogram pixel sum — q44's invariant input: bins as
-    * exact counts, returned as their sum, which equals w·h iff the
-    * histogram binned every decoded pixel exactly once. */
+  /** Decoded-pixel count feeding the histogram — q44's invariant input.
+    * What this DOES gate: the decode produced a pixel raster, and its
+    * size equals the independently stored w·h (a truncated/corrupt
+    * decode, wrong-dims decode, or failed pixel extraction all break
+    * it). What it CANNOT gate: the luma formula or bin mapping — every
+    * loop iteration increments exactly one (clamped) bin, so the bin
+    * SUM is the pixel count by construction; no metadata-predictable
+    * oracle can see inside the binning. Hence no duplicated histogram
+    * loop here — the count is taken where it is defined. */
   def lumaHistPxSum(bytes: Array[Byte]): Option[Long] =
     try {
       val img = ImageCodec.decode(bytes)
       if (img == null) return None
-      val px = ImageCodec.pixels(img)
-      val bins = new Array[Long](16)
-      px.foreach { p =>
-        val y = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
-          0.114 * (p & 0xff)
-        bins(math.min(15, (y / 16).toInt)) += 1
-      }
-      Some(bins.sum)
+      Some(ImageCodec.pixels(img).length.toLong)
     } catch { case _: Throwable => None }
 
   /** VIDEO FRAME SAMPLING — STUB. A real implementation would demux n

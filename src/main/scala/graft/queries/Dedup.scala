@@ -269,25 +269,22 @@ object Dedup {
     var labels = nodes
       .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum("label")).head
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    var prevSum = labelSum(labels)
+    // fixpoint detection by EXACT changed-row count (labels only ever
+    // decrease, so changed == 0 is the fixpoint) — not a label-sum
+    // compare, which overflows Long at ~10^10 × 10^10-magnitude ids
+    // (ANSI mode would throw; wraparound could falsely converge)
     var converged = false
     while (!converged) {
       val prop = edges
         .join(labels.select(col("doc_id").as("u"), col("label").as("ulabel")), "u")
         .groupBy("v").agg(min("ulabel").as("nlabel"))
         .withColumnRenamed("v", "doc_id")
-      val next = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      val step = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint()
-      val s2 = labelSum(next)
-      converged = s2 == prevSum
-      prevSum = s2
-      labels = next
+      converged = step.filter(col("label") =!= col("__old")).count() == 0
+      labels = step.drop("__old")
     }
     labels
   }

@@ -134,9 +134,9 @@ object Engine {
 
   /** q44 (the q36 partial oracle): every value is predictable from the
     * payload dump's independently-stored metadata — decoded dims and
-    * pixel-exact histogram sums must equal the stored (w, h), the 8×8
-    * resize must re-decode to 8×8, the 3-frame stub to 3·16·16 px.
-    * The Spark side computes them by actually decoding. */
+    * the decoded pixel-raster size must equal the stored (w, h) / w·h,
+    * the 8×8 resize must re-decode to 8×8, the 3-frame stub to
+    * 3·16·16 px. The Spark side computes them by actually decoding. */
   val q44Sql: String =
     s"""WITH p AS (${resolved("dump_payload_raw", "image_id")})
        |SELECT image_id,

@@ -272,13 +272,20 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
     commit(df, kind = "delta", metrics, props)
 
   /** Fold deltas into a fresh base when read amplification grows.
-    * Frozen-tag base files (terminal lifecycle states — never upserted
-    * again) carry over UNTOUCHED: compaction cost is O(active set),
-    * not O(table), over a long drain. */
-  def compactIfNeeded(maxDeltaFiles: Int = 8,
+    * The trigger counts distinct delta COMMITS (deltaSeq values), not
+    * delta files: read amplification scales with the number of
+    * merge-on-read layers, while tag/bucket splitting multiplies the
+    * files per commit (a 16-bucket table writes ~2×16 files per delta
+    * commit — a per-file trigger would compact every single batch and
+    * rewrite the active set each time). Frozen-tag base files
+    * (terminal lifecycle states — never upserted again) carry over
+    * UNTOUCHED: compaction cost is O(active set), not O(table), over a
+    * long drain. */
+  def compactIfNeeded(maxDeltaCommits: Int = 8,
                       metrics: Map[String, Double] = Map.empty): Option[Long] =
     currentManifest match {
-      case Some(m) if m.files.count(_.kind == "delta") > maxDeltaFiles =>
+      case Some(m) if m.files.filter(_.kind == "delta")
+          .map(_.deltaSeq).distinct.size > maxDeltaCommits =>
         val (frozen, active) = m.files.partition(f =>
           f.kind == "base" && f.tag.nonEmpty && frozenTags(f.tag))
         val resolved = readResolved(m.copy(files = active))
@@ -366,7 +373,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
             (0 until rel.getNameCount - 1).foreach { i =>
               val seg = rel.getName(i).toString
               if (seg.startsWith("__tag="))
-                tag = java.net.URLDecoder.decode(seg.stripPrefix("__tag="), "UTF-8")
+                tag = SnapshotTable.unescapePathName(seg.stripPrefix("__tag="))
               else if (seg.startsWith("__bucket="))
                 bucket = seg.stripPrefix("__bucket=").toInt
             }
@@ -448,6 +455,26 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
 }
 
 object SnapshotTable {
+
+  /** Inverse of Spark's partition-path escaping (%XX sequences only).
+    * NOT URLDecoder: that would turn a literal '+' in a tag value into
+    * a space — Spark never encodes '+', so a tag like "a+b" would be
+    * recorded corrupted and readStates would silently skip its files. */
+  private[table] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code = try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+                   catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Shared daemon pool for manifest footer reads (driver-side
     * metadata IO, bounded at 8 threads process-wide). */

@@ -43,7 +43,17 @@ object Rank {
     * NOTE: construction is EAGER — the sort shuffle + count job run
     * immediately (the offsets must exist before the plan can be built).
     * Callers that only want the plan shape still pay one pass; every
-    * current call site executes the result anyway. */
+    * current call site executes the result anyway.
+    *
+    * PRECONDITION on consumers: the rank projection evaluates
+    * `spark_partition_id()`/`monotonically_increasing_id()` and is only
+    * correct while tasks line up 1:1 with the checkpoint partitions —
+    * do NOT apply a narrow repartitioning (`coalesce`) to the returned
+    * frame before its first exchange/action; a merged task would see a
+    * post-merge partition id against per-source-restarting local ids
+    * and silently produce duplicate ranks. Any shuffle, write, or
+    * collect directly on the returned frame is safe (the projection
+    * runs in checkpoint-aligned tasks first). */
   def withGlobalRank(df: DataFrame, order: Seq[Column], rankCol: String,
                      numParts: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession

@@ -90,7 +90,7 @@ class BucketedClaimSpec extends AnyFunSuite {
     val recovered = processing.drop(100).map(_.copy(
       state = FrontierState.Pending, priority = FrontierState.RecoveryPriority))
     tbl.commitUpsert(recovered.toDF())
-    tbl.compactIfNeeded(maxDeltaFiles = 2)
+    tbl.compactIfNeeded(maxDeltaCommits = 2)
     // one more post-compaction delta so shadows exist at claim time
     val late = entries.filterNot(e => processing.exists(_.fp == e.fp)).take(25)
       .map(_.copy(state = FrontierState.Processing))

@@ -81,7 +81,7 @@ class PrunedFrontierSpec extends AnyFunSuite {
               .toDF("fp", "state", "v"))
           }
         } else {
-          t.compactIfNeeded(maxDeltaFiles = 3)
+          t.compactIfNeeded(maxDeltaCommits = 3)
         }
         // every step: every single-state pruned read matches the filter
         states.foreach { st =>
@@ -136,7 +136,7 @@ class PrunedFrontierSpec extends AnyFunSuite {
       t.commitUpsert((lo until hi).map(k => (k, FrontierState.Processed, s"u$k"))
         .toDF("fp", "state", "v"))
     }
-    assert(t.compactIfNeeded(maxDeltaFiles = 2).isDefined)
+    assert(t.compactIfNeeded(maxDeltaCommits = 2).isDefined)
     val frozenPaths = t.currentManifest.get.files
       .filter(f => f.tag == FrontierState.Processed).map(_.path).toSet
     assert(frozenPaths.nonEmpty)
@@ -149,7 +149,7 @@ class PrunedFrontierSpec extends AnyFunSuite {
         .toDF("fp", "state", "v"))
     }
     val before = t.read().as[(Long, String, String)].collect().sortBy(_._1).toSeq
-    assert(t.compactIfNeeded(maxDeltaFiles = 2).isDefined)
+    assert(t.compactIfNeeded(maxDeltaCommits = 2).isDefined)
     val after = t.read().as[(Long, String, String)].collect().sortBy(_._1).toSeq
     assert(after === before, "partial compaction changed the resolved view")
     // the first compaction's processed base files survived the second

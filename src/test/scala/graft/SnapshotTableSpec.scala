@@ -54,7 +54,7 @@ class SnapshotTableSpec extends AnyFunSuite {
     t.commitAppend((1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"))
     (1L to 10L).foreach(i => t.commitUpsert(Seq((i, s"u$i")).toDF("k", "v")))
     val before = t.read().as[(Long, String)].collect().sortBy(_._1).toSeq
-    val compacted = t.compactIfNeeded(maxDeltaFiles = 4)
+    val compacted = t.compactIfNeeded(maxDeltaCommits = 4)
     assert(compacted.isDefined)
     val after = t.read().as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(after === before)
@@ -121,7 +121,7 @@ class SnapshotTableSpec extends AnyFunSuite {
           rows.foreach { case (k, v) => model(k) = v }
           t.commitUpsert(rows.toDF("k", "v"))
         } else if (op < 9) {
-          t.compactIfNeeded(maxDeltaFiles = 3)
+          t.compactIfNeeded(maxDeltaCommits = 3)
         } else {
           t.expire(keepLast = 4)
         }
