@@ -266,7 +266,13 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .localCheckpoint()
-    var labels = nodes
+    // the loop runs ONLY over pair-incident nodes: every other node is
+    // a singleton whose label is itself, forever. At corpus scale this
+    // is the load-bearing cut — 10^10 docs with a near-dup pair set
+    // orders of magnitude smaller must not shuffle the corpus once per
+    // round, only the connected subset.
+    val inPairs = edges.select(col("u").as("doc_id")).distinct().localCheckpoint()
+    var labels = inPairs
       .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
     // fixpoint detection by EXACT changed-row count (labels only ever
@@ -286,7 +292,9 @@ object Dedup {
       converged = step.filter(col("label") =!= col("__old")).count() == 0
       labels = step.drop("__old")
     }
-    labels
+    val singletons = nodes.join(inPairs, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    labels.unionByName(singletons)
   }
 
   /** DuckDB twin: transitive closure by recursive CTE — reach(node,

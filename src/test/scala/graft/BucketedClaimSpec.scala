@@ -123,6 +123,30 @@ class BucketedClaimSpec extends AnyFunSuite {
     assert(w.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("bucketed mode: resume after crash reaches the same seen set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("bucketedresume").toString
+    val e1 = new CrawlEngine(spark, dir, cfg)
+    e1.init(nSeeds)
+    e1.runBatch(1L)
+    // "crash": claim batch 2, commit processing, never flip terminal
+    val pending = e1.frontier.readStates(Set(FrontierState.Pending))
+    val claimed = Frontier.claimBySynthPolicy(pending, cfg.seed,
+      cfg.batchSize, cfg.batchMs)
+    e1.frontier.commitUpsert(claimed.withColumn("state", lit(FrontierState.Processing)))
+    // restart over the same dir (bucketed table layout on disk)
+    val e2 = new CrawlEngine(spark, dir, cfg)
+    assert(e2.resume() > 0, "should recover stuck processing rows")
+    e2.drain()
+    val a = e2.seenSet.as[Long].collect().sorted.toSeq
+    val b = engine.seenSet.as[Long].collect().sorted.toSeq
+    assert(a === b)
+    assert(e2.frontier.read()
+      .filter(col("state").isin(FrontierState.Pending, FrontierState.Processing))
+      .count() === 0)
+  }
+
   test("bucketedStateScan opens only wanted-tag files plus delta shadows, per bucket") {
     val tbl = messyTable(buckets = 4)
     val m = tbl.currentManifest.get
