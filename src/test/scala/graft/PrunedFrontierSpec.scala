@@ -30,74 +30,102 @@ class PrunedFrontierSpec extends AnyFunSuite {
     new SnapshotTable(spark, dir, "fp", tagCol = Some("state"),
       frozenTags = Set(FrontierState.Processed, FrontierState.Failed))
 
-  test("fuzz: readStates == full-read filter across random lifecycles (3 seeds)") {
+  /** Seeded lifecycle fuzz against an in-memory model: random appends,
+    * claims, terminal flips, recoveries, compactions. Every step checks
+    * `readStates` == full-read filter == model; with `bucketScan`, also
+    * resolves `bucketedStateScan` by hand (latest `__delta_seq` per fp,
+    * keep iff `__cand`) and checks it against the model — the exact
+    * resolution the bucketed claim's mapPartitions performs. */
+  private def lifecycleFuzz(trial: Int, mk: String => SnapshotTable,
+                            bucketScan: Boolean): Unit = {
     import spark.implicits._
     val states = Seq(FrontierState.Pending, FrontierState.Processing,
       FrontierState.Processed, FrontierState.Failed)
-    (0 until 3).foreach { trial =>
-      val r = new scala.util.Random(trial * 31 + 5)
-      val t = mkTagged(freshDir())
-      // model: fp -> state (values monotone per the crawl lifecycle)
-      val model = scala.collection.mutable.HashMap.empty[Long, String]
-      var nextFp = 0L
-      (0 until 25).foreach { step =>
-        val op = r.nextInt(10)
-        if (model.isEmpty || op < 3) {
-          // append: new keys, pending or (robots) failed
-          val rows = (0 until 1 + r.nextInt(6)).map { _ =>
-            val fp = nextFp; nextFp += 1
-            val st = if (r.nextInt(5) == 0) FrontierState.Failed
-                     else FrontierState.Pending
-            model(fp) = st
-            (fp, st, s"u$fp")
-          }
-          t.commitAppend(rows.toDF("fp", "state", "v"))
-        } else if (op < 6) {
-          // claim: some pending rows -> processing
-          val pend = model.collect { case (k, s) if s == FrontierState.Pending => k }.toSeq.sorted
-          if (pend.nonEmpty) {
-            val take = pend.take(1 + r.nextInt(3))
-            take.foreach(k => model(k) = FrontierState.Processing)
-            t.commitUpsert(take.map(k => (k, FrontierState.Processing, s"u$k"))
-              .toDF("fp", "state", "v"))
-          }
-        } else if (op < 8) {
-          // terminal: processing rows -> processed/failed
-          val proc = model.collect { case (k, s) if s == FrontierState.Processing => k }.toSeq.sorted
-          if (proc.nonEmpty) {
-            val rows = proc.map { k =>
-              val st = if (r.nextBoolean()) FrontierState.Processed else FrontierState.Failed
-              model(k) = st
-              (k, st, s"u$k")
-            }
-            t.commitUpsert(rows.toDF("fp", "state", "v"))
-          }
-        } else if (op == 8) {
-          // recovery: processing -> pending (the state that goes BACK)
-          val proc = model.collect { case (k, s) if s == FrontierState.Processing => k }.toSeq.sorted
-          if (proc.nonEmpty) {
-            proc.foreach(k => model(k) = FrontierState.Pending)
-            t.commitUpsert(proc.map(k => (k, FrontierState.Pending, s"u$k"))
-              .toDF("fp", "state", "v"))
-          }
-        } else {
-          t.compactIfNeeded(maxDeltaCommits = 3)
+    val r = new scala.util.Random(trial * 31 + 5)
+    val t = mk(freshDir())
+    // model: fp -> state (values monotone per the crawl lifecycle)
+    val model = scala.collection.mutable.HashMap.empty[Long, String]
+    def host(fp: Long) = s"h${fp % 7}"
+    var nextFp = 0L
+    (0 until 25).foreach { step =>
+      val op = r.nextInt(10)
+      if (model.isEmpty || op < 3) {
+        // append: new keys, pending or (robots) failed
+        val rows = (0 until 1 + r.nextInt(6)).map { _ =>
+          val fp = nextFp; nextFp += 1
+          val st = if (r.nextInt(5) == 0) FrontierState.Failed
+                   else FrontierState.Pending
+          model(fp) = st
+          (fp, st, s"u$fp", host(fp))
         }
-        // every step: every single-state pruned read matches the filter
-        states.foreach { st =>
-          val pruned = t.readStates(Set(st))
-            .select("fp", "state", "v").as[(Long, String, String)]
-            .collect().sortBy(_._1).toSeq
-          val full = t.read().filter(col("state") === st)
-            .select("fp", "state", "v").as[(Long, String, String)]
-            .collect().sortBy(_._1).toSeq
-          assert(pruned === full, s"trial $trial step $step state $st diverged")
-          val expect = model.toSeq.collect { case (k, s) if s == st => (k, s, s"u$k") }
-            .sortBy(_._1)
-          assert(pruned === expect, s"trial $trial step $step state $st vs model")
+        t.commitAppend(rows.toDF("fp", "state", "v", "host"))
+      } else if (op < 6) {
+        // claim: some pending rows -> processing
+        val pend = model.collect { case (k, s) if s == FrontierState.Pending => k }.toSeq.sorted
+        if (pend.nonEmpty) {
+          val take = pend.take(1 + r.nextInt(3))
+          take.foreach(k => model(k) = FrontierState.Processing)
+          t.commitUpsert(take.map(k => (k, FrontierState.Processing, s"u$k", host(k)))
+            .toDF("fp", "state", "v", "host"))
+        }
+      } else if (op < 8) {
+        // terminal: processing rows -> processed/failed
+        val proc = model.collect { case (k, s) if s == FrontierState.Processing => k }.toSeq.sorted
+        if (proc.nonEmpty) {
+          val rows = proc.map { k =>
+            val st = if (r.nextBoolean()) FrontierState.Processed else FrontierState.Failed
+            model(k) = st
+            (k, st, s"u$k", host(k))
+          }
+          t.commitUpsert(rows.toDF("fp", "state", "v", "host"))
+        }
+      } else if (op == 8) {
+        // recovery: processing -> pending (the state that goes BACK)
+        val proc = model.collect { case (k, s) if s == FrontierState.Processing => k }.toSeq.sorted
+        if (proc.nonEmpty) {
+          proc.foreach(k => model(k) = FrontierState.Pending)
+          t.commitUpsert(proc.map(k => (k, FrontierState.Pending, s"u$k", host(k)))
+            .toDF("fp", "state", "v", "host"))
+        }
+      } else {
+        t.compactIfNeeded(maxDeltaCommits = 3)
+      }
+      // every step: every single-state pruned read matches the filter
+      states.foreach { st =>
+        val expect = model.toSeq.collect { case (k, s) if s == st => (k, s, s"u$k") }
+          .sortBy(_._1)
+        val pruned = t.readStates(Set(st))
+          .select("fp", "state", "v").as[(Long, String, String)]
+          .collect().sortBy(_._1).toSeq
+        val full = t.read().filter(col("state") === st)
+          .select("fp", "state", "v").as[(Long, String, String)]
+          .collect().sortBy(_._1).toSeq
+        assert(pruned === full, s"trial $trial step $step state $st diverged")
+        assert(pruned === expect, s"trial $trial step $step state $st vs model")
+        if (bucketScan) {
+          val scans = t.bucketedStateScan(Set(st))
+          val got = scans.flatMap { case (_, df) =>
+            df.select("fp", "state", "v", "__delta_seq", "__cand")
+              .as[(Long, String, String, Long, Boolean)]
+              .collect().groupBy(_._1).values.map(_.maxBy(_._4))
+              .filter(_._5).map(x => (x._1, x._2, x._3))
+          }.sortBy(_._1)
+          assert(got === expect, s"trial $trial step $step state $st bucketed-scan vs model")
         }
       }
     }
+  }
+
+  test("fuzz: readStates == full-read filter across random lifecycles (3 seeds)") {
+    (0 until 3).foreach(lifecycleFuzz(_, mkTagged, bucketScan = false))
+  }
+
+  test("fuzz: bucketed tables — readStates AND the per-bucket claim scan match the model (2 seeds)") {
+    def mkBucketed(dir: String) =
+      new SnapshotTable(spark, dir, "fp", tagCol = Some("state"),
+        frozenTags = Set(FrontierState.Processed, FrontierState.Failed),
+        bucketBy = Some(("host", 3)))
+    (3 until 5).foreach(lifecycleFuzz(_, mkBucketed, bucketScan = true))
   }
 
   test("after a drain, the pending claim plan skips the terminal base bulk") {
