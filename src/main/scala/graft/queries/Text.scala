@@ -145,12 +145,45 @@ object Text {
        |    len(string_split_regex(trim(text), '[$WsClass]+')) AS n_ws
        |  FROM documents)""".stripMargin
 
+  /** q47: deterministic stratified sampling — the corpus-MIXING op of
+    * a training-data pipeline (per-source keep rates, e.g. upweight
+    * curated sources, downsample bulk scrapes). The keep decision is a
+    * pure hash threshold per row (`h60(doc_id || salt) mod 1000 <
+    * rate`), so it is: reproducible across runs, partitions, and
+    * engines (no RNG state, no seed-per-partition trap), stable under
+    * repartitioning, and map-side only — at 100 TB the sample is a
+    * filter fused into the scan, no shuffle, no driver coordination.
+    * Rates per mille by source tier (src0-4 curated .. src15-19 bulk). */
+  def q47StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val idx = substring(col("source"), 4, 6).cast("int")
+    val rate = when(idx < 5, 900).when(idx < 10, 500)
+      .when(idx < 15, 250).otherwise(100)
+    documents(s, d)
+      .withColumn("rate_per_mille", rate.cast("long"))
+      .withColumn("bucket",
+        pmod(h60(concat(col("doc_id").cast("string"), lit("#mix"))), lit(1000L)))
+      .filter(col("bucket") < col("rate_per_mille"))
+      .select("doc_id", "source", "rate_per_mille", "bucket")
+  }
+
+  val q47Sql: String =
+    s"""SELECT doc_id, source, rate_per_mille, bucket
+       |FROM (
+       |  SELECT doc_id, source,
+       |    cast(CASE WHEN idx < 5 THEN 900 WHEN idx < 10 THEN 500
+       |              WHEN idx < 15 THEN 250 ELSE 100 END as bigint) AS rate_per_mille,
+       |    ${h60Sql("concat(cast(doc_id as varchar), '#mix')")} % 1000 AS bucket
+       |  FROM (SELECT doc_id, source, cast(substr(source, 4) as int) AS idx
+       |        FROM documents))
+       |WHERE bucket < rate_per_mille""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_text_clean"    -> q16TextClean _,
     "q17_token_stats"   -> q17TokenStats _,
     "q18_quality_score" -> q18QualityScore _,
     "q19_lang_id"       -> q19LangId _,
     "q42_bpe_tokens"    -> q42BpeTokens _,
+    "q47_stratified_sample" -> q47StratifiedSample _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -159,5 +192,6 @@ object Text {
     "q18_quality_score" -> q18Sql,
     "q19_lang_id"       -> q19Sql,
     "q42_bpe_tokens"    -> q42Sql,
+    "q47_stratified_sample" -> q47Sql,
   )
 }
