@@ -148,15 +148,24 @@ object Bench {
     graft.crawl.Flagship.reset()
     System.gc()
 
-    // 2. frontier drains (full engine), each in a fresh local[cpus]
-    // session: the standard 30k run plus a large-fill run showing
-    // throughput holds as the frontier/seen set fill toward design scale
+    // 2. frontier drains (full engine), each in a fresh local[N]
+    // session. The HEADLINE 30k drain is a median of 3 independent runs
+    // (VERDICT r3: one bad IO window on this shared box must not set —
+    // or inflate — the quoted number), plus a large-fill run showing
+    // throughput holds as the frontier/seen set fill toward design
+    // scale, plus the bucketed-claim run, plus an interleaved drain
+    // scaling pair (the north-rule metric measured on the drain itself,
+    // not just the map stage).
     val drainBatch = sys.env.getOrElse("SPARK_GRAFT_DRAIN_BATCH", "8192").toInt
     val seenMode = sys.env.getOrElse("SPARK_GRAFT_SEEN_MODE", "auto")
-    def runDrain(seeds: Int, claimMode: String = "window"): (Long, Long, Double) = {
-      val drainDir = s"/tmp/graft_bench_drain_${cpus}_${seeds}_$claimMode"
+    val drainReps = sys.env.getOrElse("SPARK_GRAFT_DRAIN_REPS", "3").toInt
+    final case class DrainRun(batches: Long, processed: Long, wall: Double,
+                              phases: Map[String, Double])
+    def runDrain(seeds: Int, claimMode: String = "window",
+                 drainCpus: Int = cpus): DrainRun = {
+      val drainDir = s"/tmp/graft_bench_drain_${drainCpus}_${seeds}_$claimMode"
       rmrf(drainDir)
-      val s = session(cpus)
+      val s = session(drainCpus)
       try {
         val eng = new graft.crawl.CrawlEngine(s, drainDir,
           graft.crawl.CrawlConfig(batchSize = drainBatch, seenMode = seenMode,
@@ -164,10 +173,11 @@ object Bench {
         val d0 = System.nanoTime()
         eng.init(seeds)
         val (batches, processed) = eng.drain()
-        (batches, processed, (System.nanoTime() - d0) / 1e9)
+        DrainRun(batches, processed, (System.nanoTime() - d0) / 1e9, eng.phaseTotals)
       } finally s.stop()
     }
-    val (batches, processed, drainWall) = runDrain(drainSeeds)
+    val headlineRuns = (1 to math.max(1, drainReps)).map(_ => runDrain(drainSeeds))
+    val headline = headlineRuns.sortBy(_.wall).apply(headlineRuns.length / 2)
     val largeDrain =
       if (drainSeedsLarge > 0 && drainSeedsLarge != drainSeeds)
         Some((drainSeedsLarge, runDrain(drainSeedsLarge)))
@@ -181,6 +191,27 @@ object Bench {
       if (drainSeedsBucketed > 0)
         Some((drainSeedsBucketed, runDrain(drainSeedsBucketed, claimMode = "bucketed")))
       else None
+    // drain scaling pair (north rule, measured on the DRAIN): the same
+    // seeds drained at local[4] and local[16], interleaved A/B/A/B so
+    // machine drift lands on both sides, medians over reps. The drain
+    // includes the driver commit loop, whose per-batch fixed cost does
+    // not shrink with cores — the phase decomposition quantifies that
+    // share, and the allocation-free control + the map-stage pair below
+    // bound the machine ceiling.
+    val drainScaleSeeds =
+      sys.env.getOrElse("SPARK_GRAFT_DRAIN_SCALE_SEEDS", drainSeeds.toString).toInt
+    val drainScaleReps = sys.env.getOrElse("SPARK_GRAFT_DRAIN_SCALE_REPS", "3").toInt
+    val drainScale =
+      if (drainScaleSeeds > 0) {
+        val lo = scala.collection.mutable.ArrayBuffer.empty[DrainRun]
+        val hi = scala.collection.mutable.ArrayBuffer.empty[DrainRun]
+        (1 to drainScaleReps).foreach { _ =>
+          lo += runDrain(drainScaleSeeds, drainCpus = 4)
+          hi += runDrain(drainScaleSeeds, drainCpus = 16)
+        }
+        Some((lo.sortBy(_.wall).apply(lo.length / 2),
+              hi.sortBy(_.wall).apply(hi.length / 2)))
+      } else None
 
     // 3+4. scaling pairs (interleaved medians) + allocation-free controls
     val warmN = math.min(2000, scaleN)
@@ -200,16 +231,29 @@ object Bench {
 
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val largeJson = largeDrain.map { case (seeds, (b, p, w)) =>
-      f""""frontier_drain_large":{"seeds":$seeds,"urls_processed":$p,"batches":$b,"wall_sec":$w%.3f,"urls_per_sec":${p / w}%.1f,"fresh_session":true},"""
+    def phaseJson(ph: Map[String, Double]): String =
+      ph.toSeq.sortBy(_._1).map { case (k, v) => f""""$k":$v%.2f""" }
+        .mkString("{", ",", "}")
+    val headlineRunsJson = headlineRuns
+      .map(r => f"${r.processed / r.wall}%.1f").mkString("[", ",", "]")
+    val largeJson = largeDrain.map { case (seeds, r) =>
+      f""""frontier_drain_large":{"seeds":$seeds,"urls_processed":${r.processed},"batches":${r.batches},"wall_sec":${r.wall}%.3f,"urls_per_sec":${r.processed / r.wall}%.1f,"fresh_session":true},"""
     }.getOrElse("")
-    val bucketedJson = bucketedDrain.map { case (seeds, (b, p, w)) =>
-      f""""frontier_drain_bucketed":{"seeds":$seeds,"urls_processed":$p,"batches":$b,"wall_sec":$w%.3f,"urls_per_sec":${p / w}%.1f,"fresh_session":true,"claim_mode":"bucketed"},"""
+    val bucketedJson = bucketedDrain.map { case (seeds, r) =>
+      f""""frontier_drain_bucketed":{"seeds":$seeds,"urls_processed":${r.processed},"batches":${r.batches},"wall_sec":${r.wall}%.3f,"urls_per_sec":${r.processed / r.wall}%.1f,"fresh_session":true,"claim_mode":"bucketed"},"""
+    }.getOrElse("")
+    val drainScaleJson = drainScale.map { case (lo, hi) =>
+      val eff = (lo.wall / hi.wall) / 4.0
+      f""""drain_scaling":{"job":"frontier drain $drainScaleSeeds seeds","method":"interleaved median of $drainScaleReps",""" +
+      f""""wall_local4":${lo.wall}%.3f,"wall_local16":${hi.wall}%.3f,""" +
+      f""""urls_per_sec_local4":${lo.processed / lo.wall}%.1f,"urls_per_sec_local16":${hi.processed / hi.wall}%.1f,""" +
+      f""""efficiency_4_to_16":$eff%.3f,""" +
+      s""""phase_sec_local4":${phaseJson(lo.phases)},"phase_sec_local16":${phaseJson(hi.phases)}},"""
     }.getOrElse("")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","engine_build_sec":$engineBuildSec%.3f,""" +
-      f""""frontier_drain":{"seeds":$drainSeeds,"urls_processed":$processed,"batches":$batches,"wall_sec":$drainWall%.3f,"urls_per_sec":${processed / drainWall}%.1f,"fresh_session":true,"seen_mode":"$seenMode","drain_batch":$drainBatch,"skip_queries":$skipQueries},""" +
-      largeJson + bucketedJson +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","engine_build_sec":$engineBuildSec%.3f,"cc_rounds":${graft.queries.Dedup.lastCcRounds.get()},""" +
+      f""""frontier_drain":{"seeds":$drainSeeds,"urls_processed":${headline.processed},"batches":${headline.batches},"wall_sec":${headline.wall}%.3f,"urls_per_sec":${headline.processed / headline.wall}%.1f,"method":"median of $drainReps fresh-session drains","runs_urls_per_sec":$headlineRunsJson,"phase_sec":${phaseJson(headline.phases)},"fresh_session":true,"seen_mode":"$seenMode","drain_batch":$drainBatch,"skip_queries":$skipQueries},""" +
+      largeJson + bucketedJson + drainScaleJson +
       f""""scaling":{"job":"fetch+process $scaleN urls","method":"interleaved median of $scaleReps",""" +
       f""""wall_local4":$wall4%.3f,"wall_local16":$wall16%.3f,"efficiency_4_to_16":$eff416%.3f,""" +
       f""""wall_local8":$wall8%.3f,"wall_local32":$wall32%.3f,"efficiency_8_to_32":$eff832%.3f,""" +

@@ -49,9 +49,18 @@ final case class CrawlConfig(
   *
   * Action budget per batch (driver-loop latency is the sandbox
   * bottleneck, so it is engineered): claim-count, processing-commit,
-  * process-materialize, terminal-commit, payload-commit, maxSeq (on the
-  * cached frontier), enqueue (gate-count, seen-commit, append-commit)
-  * ≈ 9 Spark actions. The crawl log lives INSIDE the frontier
+  * process-materialize, terminal-commit, payload-commit, maxSeq (prop
+  * read, zero jobs), enqueue (gate-count, seen-commit, append-commit)
+  * ≈ 9 Spark actions — but the batch's WALL time is the critical path,
+  * not the sum: commits ride a single-thread commit lane that overlaps
+  * compute wherever the crash-safety order allows. Per batch:
+  *   [claim ∥ previous tail] → [processing-commit ∥ process] →
+  *   [payload-commit ∥ enqueue] → tail (terminal-commit + hygiene,
+  *   deferred into the NEXT batch's window when drain() runs pipelined).
+  * The lane serializes every commit, so the durability ORDER is
+  * unchanged from the serial loop (processing → payload → seen →
+  * append → terminal) and each overlap is joined before the first
+  * commit that depends on it. The crawl log lives INSIDE the frontier
   * (processedAt column) and media/pieces/stats share one payload table
   * — three separate sinks would triple the commit cost for nothing.
   */
@@ -341,7 +350,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       .exists(_.files.iterator.map(_.bytes).sum > CrawlEngine.BigKeyTableBytes)
     val fresh = Frontier.dedupGate(probed, keys,
       broadcastCandidates = boundedCandidates && bigKeyTable).cache()
-    val n = fresh.count()
+    val n = phase("enqueue-gate")(fresh.count())
     probed.unpersist()
     if (n > 0) {
       // maxSeq prop: survivors' max (parity: the oracle assigns the next
@@ -349,29 +358,70 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // so this is a cheap second action, not a table scan
       val mx = fresh.agg(max("seq")).head
       val newMax = math.max(currentMaxSeq, if (mx.isNullAt(0)) -1L else mx.getLong(0))
-      seen.insert(fresh.select("fp"), Map("batch" -> batchNo.toDouble), shardSnapshot)
-      // coalesce: a few-thousand-row append across 32 shuffle partitions
-      // would write 32 tiny files whose footers the manifest then reads
-      frontier.commitAppend(fresh.coalesce(4), Map(
+      phase("seen-commit")(
+        seen.insert(fresh.select("fp"), Map("batch" -> batchNo.toDouble), shardSnapshot))
+      // coalesce(1): a few-thousand-row append across 32 shuffle
+      // partitions would write 32 tiny files whose footers the manifest
+      // then reads; one writer task over the cached rows is cheaper
+      // than the per-file fixed costs it saves
+      phase("append-commit")(frontier.commitAppend(fresh.coalesce(1), Map(
         "batch" -> batchNo.toDouble, "enqueued" -> n.toDouble),
-        props = Map(CrawlEngine.MaxSeqProp -> newMax.toString))
+        props = Map(CrawlEngine.MaxSeqProp -> newMax.toString)))
     }
     fresh.unpersist()
     n
   }
 
   private val timing = sys.env.contains("SPARK_GRAFT_BATCH_TIMING")
+  private val phaseSums =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.DoubleAdder]()
   private def phase[T](name: String)(body: => T): T = {
-    if (!timing) return body
     val t0 = System.nanoTime()
     val r = body
-    System.err.println(f"[batch-timing] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val sec = (System.nanoTime() - t0) / 1e9
+    phaseSums.computeIfAbsent(name, _ => new java.util.concurrent.atomic.DoubleAdder())
+      .add(sec)
+    if (timing) System.err.println(f"[batch-timing] $name $sec%.2fs")
     r
   }
 
-  /** One micro-batch. Returns number of urls processed (0 = drained). */
-  def runBatch(batchNo: Long): Long = {
-    if (frontier.currentId.isEmpty) return 0L // never initialized
+  /** Cumulative wall seconds per engine phase (claim, process, each
+    * commit, hygiene) since construction — the drain's fixed-cost
+    * decomposition Bench reports. Phases on the overlap lane
+    * (processing/payload/terminal commits, hygiene) accumulate their
+    * own wall time even when hidden behind compute. */
+  def phaseTotals: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    phaseSums.asScala.map { case (k, v) => k -> v.sum() }.toMap
+  }
+
+  /** The previous batch's deferred tail (terminal commit + table
+    * hygiene) when `drain` runs pipelined; null when idle. */
+  private var inflight: java.util.concurrent.Future[_] = null
+
+  /** Join the deferred tail, surfacing its failure. Idempotent. */
+  private def quiesce(): Unit = {
+    val f = inflight
+    inflight = null
+    if (f != null) f.get()
+  }
+
+  private def runnable(body: => Unit): Runnable =
+    new Runnable { override def run(): Unit = body }
+
+  /** One micro-batch. Returns number of urls processed (0 = drained).
+    *
+    * `defer`: when true (drain's pipelined loop), the batch TAIL —
+    * terminal state flip + table hygiene — is submitted to the commit
+    * lane and joined at the start of the NEXT batch, so it overlaps
+    * that batch's claim+process window. The commit lane is one thread
+    * and every later frontier write first joins it, so commit ORDER is
+    * exactly the serial story and crash safety is unchanged: a crash
+    * before the deferred terminal commit lands leaves rows in
+    * `processing` for resume(). Direct callers keep the default
+    * (synchronous tail): table state is fully committed on return. */
+  def runBatch(batchNo: Long, defer: Boolean = false): Long = {
+    if (frontier.currentId.isEmpty) { quiesce(); return 0L } // never initialized
     // PRUNED claim read: resolves only pending-tagged files (+ key
     // columns of since-compaction deltas for shadowing) — terminal base
     // files, the table's bulk at design scale, are never opened
@@ -379,6 +429,12 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     // Bucketed mode goes further: host-bucketed files let the whole
     // claim (resolution + politeness + top-B) run bucket-local with
     // zero exchanges (Frontier.claimBucketedBySynthPolicy).
+    //
+    // The manifest this read captures may be ONE commit behind an
+    // in-flight deferred tail — content-identical for the pending view:
+    // the only rows that commit touches were already `processing` (thus
+    // excluded) when this batch started. So the claim job runs while
+    // the previous tail commits.
     val bucketed = cfg.claimMode == "bucketed"
     // NOT cached: its single consumer is `claimed`, which is cached
     // itself — r2's cache fed three consumers (maxSeq agg, key scan),
@@ -388,6 +444,10 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       if (bucketed) null
       else frontier.readStates(Set(FrontierState.Pending))
     var claimed: DataFrame = null
+    var processed: org.apache.spark.sql.Dataset[ProcessedUrl] = null
+    var tailOwnsProcessed = false
+    var procFuture: java.util.concurrent.Future[_] = null
+    var procJoined = false
     var payloadFuture: java.util.concurrent.Future[_] = null
     var payloadJoined = false
     try {
@@ -397,17 +457,25 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       else Frontier.claimBySynthPolicy(pending, cfg.seed,
         cfg.batchSize, cfg.batchMs)).cache()
       val nClaimed = phase("claim")(claimed.count())
+      quiesce() // join the previous deferred tail before any write of our own
       if (nClaimed == 0) return 0L
 
       // checkpoint: claimed rows become `processing` — crash after this
-      // commit is what resume() recovers from
-      phase("processing-commit")(frontier.commitUpsert(
-        claimed.withColumn("state", lit(FrontierState.Processing)).coalesce(2),
-        Map("batch" -> batchNo.toDouble, "claimed" -> nClaimed.toDouble)))
+      // commit is what resume() recovers from. It runs on the commit
+      // lane CONCURRENT with the process materialization below (both
+      // read only the cached claim); the join after the process count
+      // keeps it strictly before every later commit. A crash while it
+      // is in flight leaves the rows `pending` — the batch replays from
+      // scratch, idempotently.
+      procFuture = commitPool.submit(runnable {
+        phase("processing-commit")(frontier.commitUpsert(
+          claimed.withColumn("state", lit(FrontierState.Processing)).coalesce(1),
+          Map("batch" -> batchNo.toDouble, "claimed" -> nClaimed.toDouble)))
+      })
 
       // fetch + per-url pipeline, skew-salted (2nd shuffle of the batch)
       val seed = cfg.seed; val universe = cfg.universe; val nHosts = cfg.nHosts
-      val processed = Frontier.salted(claimed, cfg.targetPerTask)
+      processed = Frontier.salted(claimed, cfg.targetPerTask)
         .repartition(col("host"), col("salt"))
         .select("fp", "url", "host", "priority", "seq", "discoveredAt")
         .as[(Long, String, String, Int, Long, Long)]
@@ -433,6 +501,9 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
         }.cache()
 
       val nOk = phase("process")(processed.filter(_.ok).count())
+      // the processing checkpoint must be durable before any downstream
+      // commit; its failure aborts the batch here
+      procFuture.get(); procJoined = true
 
       // COMMIT ORDER = crash safety (C6): payload and discovered links
       // land BEFORE the terminal state flip. A crash anywhere before
@@ -508,28 +579,36 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // leaves rows in `processing` for resume())
       if (payloadFuture != null) { payloadFuture.get(); payloadJoined = true }
 
-      // terminal frontier states; processedAt doubles as the crawl log
-      phase("terminal-commit")(frontier.commitUpsert(
-        processed.map(p => FrontierEntry(p.fp, p.url, p.host, p.priority, p.seq,
-          if (p.ok) FrontierState.Processed else FrontierState.Failed,
-          p.error, p.discoveredAt, processedAt = batchNo)).toDF().coalesce(2),
-        Map("batch" -> batchNo.toDouble, "ok" -> nOk.toDouble,
-          "failed" -> (nClaimed - nOk).toDouble)))
-
-      processed.unpersist()
-
-      // manifest check is free; compaction itself only fires when the
-      // delta-file count warrants it. Each compaction also expires
-      // superseded snapshots (reference analog:
-      // remove_extra_data_for_processed.py) — without this a long drain
-      // accumulates every snapshot json + data file forever. keepLast=8
-      // retains enough history for restore() while bounding disk.
-      if (frontier.compactIfNeeded(maxDeltaCommits = 6).isDefined)
-        frontier.expire(keepLast = 8)
-      if (seenTbl.compactIfNeeded(maxDeltaCommits = 6).isDefined)
-        seenTbl.expire(keepLast = 8)
-      if (payload.compactIfNeeded(maxDeltaCommits = 12).isDefined)
-        payload.expire(keepLast = 8)
+      // the batch TAIL: terminal frontier states (processedAt doubles as
+      // the crawl log), then table hygiene — the manifest check is free;
+      // compaction itself only fires when the delta-commit count
+      // warrants it, and each compaction also expires superseded
+      // snapshots (reference analog: remove_extra_data_for_processed.py)
+      // — without this a long drain accumulates every snapshot json +
+      // data file forever. keepLast=8 retains enough history for
+      // restore() while bounding disk.
+      val processedLocal = processed
+      val tail = runnable {
+        try {
+          phase("terminal-commit")(frontier.commitUpsert(
+            processedLocal.map(p => FrontierEntry(p.fp, p.url, p.host, p.priority, p.seq,
+              if (p.ok) FrontierState.Processed else FrontierState.Failed,
+              p.error, p.discoveredAt, processedAt = batchNo)).toDF().coalesce(1),
+            Map("batch" -> batchNo.toDouble, "ok" -> nOk.toDouble,
+              "failed" -> (nClaimed - nOk).toDouble)))
+          phase("hygiene") {
+            if (frontier.compactIfNeeded(maxDeltaCommits = 6).isDefined)
+              frontier.expire(keepLast = 8)
+            if (seenTbl.compactIfNeeded(maxDeltaCommits = 6).isDefined)
+              seenTbl.expire(keepLast = 8)
+            if (payload.compactIfNeeded(maxDeltaCommits = 12).isDefined)
+              payload.expire(keepLast = 8)
+          }
+        } finally processedLocal.unpersist()
+      }
+      tailOwnsProcessed = true
+      if (defer) inflight = commitPool.submit(tail)
+      else tail.run()
       nClaimed
     } finally {
       // an enqueue failure between submit and get() must not orphan the
@@ -542,20 +621,34 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
           System.err.println(s"[crawl] payload commit failed during batch abort: $e")
         }
       }
+      // same for an abort between the processing-commit submit and join
+      if (procFuture != null && !procJoined) {
+        try procFuture.get()
+        catch { case e: Throwable =>
+          System.err.println(s"[crawl] processing commit failed during batch abort: $e")
+        }
+      }
+      if (!tailOwnsProcessed && processed != null) processed.unpersist()
       if (claimed != null) claimed.unpersist()
     }
   }
 
-  /** Drain the frontier. Returns (batches, urlsProcessed). */
+  /** Drain the frontier, PIPELINED: each batch's terminal commit +
+    * hygiene overlap the next batch's claim+process window (see
+    * runBatch). Fully quiesced on return — every commit durable, even
+    * on abort. Returns (batches, urlsProcessed). */
   def drain(maxBatches: Int = 1000): (Long, Long) = {
+    quiesce()
     var batchNo = if (frontier.currentId.isEmpty) 0L else nextBatchNo
     var total = 0L
     var n = -1L
     var batches = 0L
-    while (n != 0L && batches < maxBatches) {
-      n = runBatch(batchNo)
-      if (n > 0) { total += n; batchNo += 1; batches += 1 }
-    }
+    try {
+      while (n != 0L && batches < maxBatches) {
+        n = runBatch(batchNo, defer = true)
+        if (n > 0) { total += n; batchNo += 1; batches += 1 }
+      }
+    } finally quiesce()
     (batches, total)
   }
 

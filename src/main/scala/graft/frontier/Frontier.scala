@@ -30,19 +30,19 @@ object Frontier {
       p => p.join(broadcast(policies.select("host", "crawlDelayMs")), Seq("host"), "left"),
       batchSize, batchMs)
 
-  /** Claim with the crawl delay computed as a scalar function of the
+  /** Claim with the crawl delay computed as a column function of the
     * host instead of a broadcast-joined table — removes a per-batch
     * distinct-hosts job + broadcast (the synthetic policy is
     * deterministic per host, so a table materialization per batch is
     * pure fixed cost; a real deployment would broadcast a slowly-
-    * changing robots table once, not per batch). */
+    * changing robots table once, not per batch). The delay is a pure
+    * builtin expression (Synth.crawlDelayMsCol), so the whole claim
+    * plan is UDF-free and stays inside whole-stage codegen. */
   def claimBySynthPolicy(pending: DataFrame, seed: Long,
-                         batchSize: Int, batchMs: Long): DataFrame = {
-    val delayUdf = udf((h: String) => Synth.hostPolicy(h, seed).crawlDelayMs)
+                         batchSize: Int, batchMs: Long): DataFrame =
     claimWithDelay(pending,
-      p => p.withColumn("crawlDelayMs", delayUdf(col("host"))),
+      p => p.withColumn("crawlDelayMs", Synth.crawlDelayMsCol(col("host"), seed)),
       batchSize, batchMs)
-  }
 
   private def claimWithDelay(pending: DataFrame,
                              withDelay: DataFrame => DataFrame,

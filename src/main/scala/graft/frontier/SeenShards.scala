@@ -58,13 +58,46 @@ final class SeenShards(spark: SparkSession, table: SnapshotTable,
 
   private def hasState: Boolean = table.currentId.nonEmpty && !table.isEmpty
 
-  /** Current shard bytes (one driver collect) — broadcast-path callers
-    * inside a batch load once and hand the same snapshot to probe() and
-    * insert(). */
+  /** Version-keyed memo of (shard bytes, their broadcast): the shard
+    * table only changes when insert() commits, so consecutive probes of
+    * an unchanged version (every batch whose discovery wave was fully
+    * deduped, plus the claim-heavy tail of a drain) reuse both the
+    * collected bytes and the executor-side broadcast instead of paying
+    * a read+collect+broadcast per batch. Single-writer (the engine
+    * driver), so a plain volatile pair is enough. */
+  @volatile private var snapCache:
+    (Long, Map[Int, Array[Byte]],
+     org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]]) = null
+
+  /** Current shard bytes (one driver collect per table VERSION) —
+    * broadcast-path callers inside a batch load once and hand the same
+    * snapshot to probe() and insert(). */
   def snapshotBytes(): Map[Int, Array[Byte]] =
     if (!hasState) Map.empty
-    else table.read().select("shard", "bytes")
-      .as[(Int, Array[Byte])].collect().toMap
+    else {
+      val id = table.currentId.getOrElse(-1L)
+      val c = snapCache
+      if (c != null && c._1 == id) c._2
+      else {
+        val bytes = table.read().select("shard", "bytes")
+          .as[(Int, Array[Byte])].collect().toMap
+        snapCache = (id, bytes, null)
+        bytes
+      }
+    }
+
+  /** Broadcast for `bytes`, reused while the table version (or the
+    * caller-preloaded snapshot) is unchanged. */
+  private def broadcastFor(bytes: Map[Int, Array[Byte]])
+      : org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]] = {
+    val c = snapCache
+    if (c != null && (c._2 eq bytes) && c._3 != null) c._3
+    else {
+      val bc = spark.sparkContext.broadcast(bytes)
+      if (c != null && (c._2 eq bytes)) snapCache = (c._1, c._2, bc)
+      bc
+    }
+  }
 
   private def shardRows: org.apache.spark.sql.Dataset[(Int, Array[Byte])] =
     if (!hasState) spark.emptyDataset[(Int, Array[Byte])]
@@ -79,7 +112,7 @@ final class SeenShards(spark: SparkSession, table: SnapshotTable,
     val bytes = preloaded.getOrElse(snapshotBytes())
     if (bytes.isEmpty)
       return candidates.withColumn("maybeSeen", lit(false))
-    val bc = spark.sparkContext.broadcast(bytes)
+    val bc = broadcastFor(bytes)
     val n = nShards
     val probeUdf = udf(new ProbeFn(bc, n))
     candidates.withColumn("maybeSeen", probeUdf(col("fp")))
@@ -133,7 +166,7 @@ final class SeenShards(spark: SparkSession, table: SnapshotTable,
           }
         }.toDF("shard", "bytes", "count")
       } else {
-        val bc = spark.sparkContext.broadcast(preloaded.getOrElse(snapshotBytes()))
+        val bc = broadcastFor(preloaded.getOrElse(snapshotBytes()))
         newFps.select(col("fp")).withColumn("shard", shardOf)
           .as[(Long, Int)]
           .groupByKey(_._2)

@@ -49,13 +49,30 @@ object Synth {
 
   // ---- host policies (robots + crawl delay) --------------------------
 
+  /** The crawl-delay menu (ms) — single source for the scalar policy
+    * and its column twin below. */
+  val Delays: Array[Long] = Array(100L, 200L, 500L, 1000L, 5000L)
+
   /** Per-host policy: crawl delay in {100,200,500,1000,5000} ms by hash;
     * ~5% of hosts disallow /v/ entirely (robots gate). */
   def hostPolicy(host: String, seed: Long = DefaultSeed): HostPolicy = {
-    val delays = Array(100L, 200L, 500L, 1000L, 5000L)
-    val d = delays((nn(s"policy:$seed:delay:$host") % delays.length).toInt)
+    val d = Delays((nn(s"policy:$seed:delay:$host") % Delays.length).toInt)
     val dis = if (unit(s"policy:$seed:robots:$host") < 0.05) Seq("/v/") else Seq.empty
     HostPolicy(host, d, dis)
+  }
+
+  /** Column twin of `hostPolicy(host, seed).crawlDelayMs` — pure
+    * builtins (codegen'd), bit-identical to the scalar by construction:
+    * Spark's `xxhash64` over the concatenated key string IS
+    * `Hashing.xx64`, and `& Long.MaxValue` + `pmod` reproduce `nn` + `%`
+    * on the non-negative result. Keeps the claim path UDF-free. */
+  def crawlDelayMsCol(host: org.apache.spark.sql.Column,
+                      seed: Long = DefaultSeed): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val nnCol = xxhash64(concat(lit(s"policy:$seed:delay:"), host))
+      .bitwiseAND(lit(Long.MaxValue))
+    element_at(typedLit(Delays.toSeq),
+      (pmod(nnCol, lit(Delays.length.toLong)) + 1L).cast("int"))
   }
 
   def isDisallowed(url: String, policy: HostPolicy): Boolean = {

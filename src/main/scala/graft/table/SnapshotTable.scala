@@ -39,8 +39,11 @@ import scala.jdk.CollectionConverters._
   *
   * Contract both optimizations lean on (and the engine guarantees via
   * its dedup gate): `commitAppend` only ever adds NEW keys, so base
-  * files hold disjoint key sets and deltas only reference keys that
-  * exist in some base.
+  * files hold disjoint key sets. Deltas referencing only base-resident
+  * keys is a PER-TABLE property, not a storage invariant: it holds for
+  * tables whose appends are dedup-gated (the frontier), but a table
+  * that takes insert-via-delta replays (the payload's post-crash
+  * upserts) may carry delta keys no base file knows — see `readKeys`.
   *
   * Bucketed files (`bucketBy` = (column, n)): every write additionally
   * splits files by `pmod(hash(column), n)` and records the bucket in
@@ -77,6 +80,33 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
   private val snapDir = root.resolve("snapshots")
   Files.createDirectories(dataDir)
   Files.createDirectories(snapDir)
+
+  /** Physical-layout identity, persisted as manifest props on every
+    * commit and REQUIRED to match on reopen: a table written under one
+    * (tagCol, bucket column, bucket modulus) must never accept writes
+    * or bucket-closed scans under another — e.g. reopening a bucketed
+    * frontier with a different claimBuckets would write files under a
+    * different modulus, splitting a key's base and delta files across
+    * scan groups and silently breaking merge-on-read resolution.
+    * (`frozenTags` is deliberately NOT part of the identity: freezing
+    * is a compaction optimization whose correctness rests on the tag
+    * being terminal, not on historical opens agreeing.) */
+  private val layoutProps: Map[String, String] = Map(
+    LayoutKeyProp -> keyCol,
+    LayoutTagProp -> tagCol.getOrElse(""),
+    LayoutBucketColProp -> bucketBy.map(_._1).getOrElse(""),
+    LayoutBucketsProp -> bucketBy.map(_._2.toString).getOrElse("0"))
+
+  private def validateLayout(m: Manifest): Unit =
+    layoutProps.foreach { case (k, v) =>
+      m.props.get(k).foreach(recorded => require(recorded == v,
+        s"table $dir opened with $k='$v' but the manifest records '$recorded' — " +
+          "tag/bucket layout is immutable once files are written"))
+    }
+
+  // fail fast on construction, not first commit: a mismatched open must
+  // not serve even reads under the wrong bucket grouping
+  currentManifest.foreach(validateLayout)
 
   def currentId: Option[Long] = {
     val cur = root.resolve("CURRENT")
@@ -219,9 +249,12 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
     }
   }
 
-  /** Every key in the table — base files only (appends introduce all
-    * keys; deltas only revise them), no resolution window, single
-    * pruned column. The dedup gate's exact tier reads this. */
+  /** Every key in the table — base files only, no resolution window,
+    * single pruned column. VALID ONLY for tables where every key enters
+    * through an append (the dedup-gated frontier, its sole consumer):
+    * on a table that replays inserts through upserts (e.g. the payload
+    * after a crash, whose recovered rows commit as deltas), this scan
+    * silently misses the delta-only keys. */
   def readKeys(): DataFrame = currentManifest match {
     case None => spark.emptyDataFrame
     case Some(m) =>
@@ -286,13 +319,14 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
     currentManifest match {
       case Some(m) if m.files.filter(_.kind == "delta")
           .map(_.deltaSeq).distinct.size > maxDeltaCommits =>
+        validateLayout(m)
         val (frozen, active) = m.files.partition(f =>
           f.kind == "base" && f.tag.nonEmpty && frozenTags(f.tag))
         val resolved = readResolved(m.copy(files = active))
         val nextId = m.id + 1
         val files = frozen ++ writeData(resolved, nextId, "base", 0L)
         val man = Manifest(nextId, Some(m.id), m.schemaDdl, files,
-          metrics + ("compacted" -> 1.0), m.props)
+          metrics + ("compacted" -> 1.0), m.props ++ layoutProps)
         publish(man)
         Some(nextId)
       case _ => None
@@ -301,13 +335,14 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
   private def commit(df: DataFrame, kind: String, metrics: Map[String, Double],
                      props: Map[String, String]): Long = {
     val parent = currentManifest
+    parent.foreach(validateLayout)
     val nextId = parent.map(_.id + 1).getOrElse(0L)
     val schemaDdl = parent.map(_.schemaDdl).getOrElse(df.schema.toDDL)
     val deltaSeq = if (kind == "delta") nextId else 0L
     val newFiles = writeData(df, nextId, kind, deltaSeq)
     val files = parent.map(_.files).getOrElse(Seq.empty) ++ newFiles
     val man = Manifest(nextId, parent.map(_.id), schemaDdl, files, metrics,
-      parent.map(_.props).getOrElse(Map.empty) ++ props)
+      parent.map(_.props).getOrElse(Map.empty) ++ layoutProps ++ props)
     publish(man)
     nextId
   }
@@ -361,6 +396,17 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
       }
       val partCols = tagCol.map(_ => "__tag").toSeq ++
         bucketBy.map(_ => "__bucket").toSeq
+      // bucketed tables: ONE file per (tag, bucket) per commit. Without
+      // this, partitionBy splits every writer task's rows across all its
+      // (tag, bucket) combinations — a B-bucket table writes O(tasks·B)
+      // near-empty files per delta commit, and the per-file fixed costs
+      // (move, footer read, manifest row, later scan open) dominate the
+      // drain. The extra exchange is O(batch) rows; each group hashes to
+      // exactly one partition, so the writer emits exactly one file per
+      // group. Tag-only tables stay with the caller's partitioning: the
+      // handful of tags present bounds their file count already.
+      if (bucketBy.isDefined)
+        out = out.repartition(partCols.map(col): _*)
       if (partCols.isEmpty) out.write.mode("overwrite").parquet(tmp.toString)
       else out.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
       val parts: Seq[(String, Int, Path)] =
@@ -455,6 +501,13 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
 }
 
 object SnapshotTable {
+
+  /** Manifest prop keys recording the physical layout (see
+    * `layoutProps` above — immutable once written). */
+  val LayoutKeyProp = "layout.key"
+  val LayoutTagProp = "layout.tagCol"
+  val LayoutBucketColProp = "layout.bucketCol"
+  val LayoutBucketsProp = "layout.buckets"
 
   /** Inverse of Spark's partition-path escaping (%XX sequences only).
     * NOT URLDecoder: that would turn a literal '+' in a tag value into

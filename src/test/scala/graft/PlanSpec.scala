@@ -77,6 +77,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("the claim path is UDF-free (synth crawl delay is a column expression)") {
+    import spark.implicits._
+    val pending = Seq(
+      (1L, "http://host1.example.com/v/a", "host1.example.com", 0, 1L,
+        "pending", null.asInstanceOf[String], 0L, -1L)
+    ).toDF("fp", "url", "host", "priority", "seq", "state", "error",
+      "discoveredAt", "processedAt")
+    val claim = graft.frontier.Frontier.claimBySynthPolicy(pending, 42L, 64, 600000L)
+    val plan = claim.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"claim plan carries a per-row UDF:\n$plan")
+    // and the column twin really is the scalar policy, over a host sample
+    (0 until 50).foreach { i =>
+      val h = s"host$i.example.com"
+      val colVal = Seq(h).toDF("host")
+        .select(graft.synth.Synth.crawlDelayMsCol(col("host"), 42L).as("d"))
+        .head.getLong(0)
+      assert(colVal === graft.synth.Synth.hostPolicy(h, 42L).crawlDelayMs)
+    }
+  }
+
   test("hamming64 keeps whole-stage codegen in the near-dup filter") {
     import graft.functions.Hamming64.hamming64
     val df = spark.read.parquet(s"$sf/lineitem.parquet")

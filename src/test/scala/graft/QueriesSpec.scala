@@ -101,6 +101,22 @@ class QueriesSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("connected components: a 512-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 512L
+    val nodes = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = graft.queries.Dedup.connectedComponents(nodes, pairs, "doc_a", "doc_b")
+    // one component, min label 0 everywhere
+    assert(labels.filter(col("label") =!= 0L).count() === 0)
+    assert(labels.count() === n)
+    // the adversarial-diameter guarantee: two-hop min-label needs
+    // O(log n) rounds where plain propagation would need n-1 (=511)
+    val rounds = graft.queries.Dedup.lastCcRounds.get()
+    assert(rounds <= 12, s"chain took $rounds rounds — not O(log n)")
+  }
+
   test("q45 clusters are consistent with q23 pairs and keep one doc per cluster") {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.01"

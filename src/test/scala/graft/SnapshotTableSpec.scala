@@ -19,6 +19,33 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(m.metrics("m") === 1.0)
   }
 
+  test("layout is persisted and a mismatched reopen is rejected") {
+    import spark.implicits._
+    val dir = freshDir()
+    val t = new SnapshotTable(spark, dir, "k", tagCol = Some("state"),
+      bucketBy = Some(("k", 4)))
+    t.commitAppend(Seq((1L, "pending"), (2L, "pending")).toDF("k", "state"))
+    val props = t.currentManifest.get.props
+    assert(props(SnapshotTable.LayoutBucketsProp) === "4")
+    assert(props(SnapshotTable.LayoutTagProp) === "state")
+    // different bucket modulus: files would be written under a different
+    // pmod and bucket-closed merge-on-read would silently break
+    val e1 = intercept[IllegalArgumentException] {
+      new SnapshotTable(spark, dir, "k", tagCol = Some("state"),
+        bucketBy = Some(("k", 8)))
+    }
+    assert(e1.getMessage.contains("layout"))
+    // different tag column
+    intercept[IllegalArgumentException] {
+      new SnapshotTable(spark, dir, "k", tagCol = Some("other"),
+        bucketBy = Some(("k", 4)))
+    }
+    // identical layout reopens fine (frozenTags is NOT identity)
+    val t2 = new SnapshotTable(spark, dir, "k", tagCol = Some("state"),
+      frozenTags = Set("done"), bucketBy = Some(("k", 4)))
+    assert(t2.read().count() === 2)
+  }
+
   test("upsert overrides by key, append accumulates") {
     import spark.implicits._
     val t = new SnapshotTable(spark, freshDir(), "k")
