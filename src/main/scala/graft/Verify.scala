@@ -61,6 +61,11 @@ object Verify {
       eng.frontier.readRawAt(graft.crawl.Flagship.asofId(eng))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$dumpsAbs/dump_frontier_asof_raw")
+      // q49 luma binning: 16 sampled decoded pixels per image as raw
+      // (r, g, b) — DuckDB recomputes the luma formula + bin mapping
+      graft.crawl.Flagship.pixelSampleDump(spark, sfDir)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dumpsAbs/dump_media_pixels")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] engine dumps failed: ${e.getMessage}")
     }

@@ -13,7 +13,7 @@ final case class ProcessedUrl(
     fp: Long, url: String, host: String, priority: Int, seq: Long,
     discoveredAt: Long, ok: Boolean, error: String,
     image_id: String, bytes: Array[Byte], w: Int, h: Int, fmt: String,
-    caption: String, phash: Long,
+    src_fmt: String, caption: String, phash: Long,
     pieces: Seq[PieceRow],
     speech_duration_sec: Double, subs_quality: Double,
     utilization_rate: Double, good_pieces: Int, total_pieces: Int,
@@ -489,6 +489,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
             bytes = m.map(_.bytes).getOrElse(Array.emptyByteArray),
             w = m.map(_.w).getOrElse(0), h = m.map(_.h).getOrElse(0),
             fmt = m.map(_.fmt).orNull,
+            src_fmt = m.map(_.src_fmt).orNull,
             caption = m.map(_.caption).orNull,
             phash = m.map(_.phash).getOrElse(0L),
             pieces = r.pieces,
@@ -542,7 +543,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
           override def run(): Unit = phase("payload-commit") {
             val rows = processed.filter(_.ok)
               .map(p => PayloadRow(p.image_id, p.bytes, p.w, p.h, p.fmt,
-                p.caption, p.phash,
+                p.src_fmt, p.caption, p.phash,
                 bytes_md5 = graft.util.Hashing.md5OfHex(p.bytes),
                 p.pieces, p.speech_duration_sec,
                 p.subs_quality, p.utilization_rate, p.good_pieces,
@@ -680,10 +681,21 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     * depths + corpus totals, "hours" = sum/3600. One DataFrame so the
     * whole rollup is a single pass over each table. */
   def globalStats: DataFrame = {
-    val depths = frontierDf.groupBy("state")
-      .agg(count(lit(1)).as("n"))
+    val depthsAgg = frontierDf.groupBy("state").agg(count(lit(1)).as("n"))
+    val depths = depthsAgg
       .select(concat(lit("queue_"), col("state")).as("metric"),
         col("n").cast("double").as("value"))
+    // percent-processed / percent-failed over ALL frontier rows — the
+    // reference's show_global_stats percentage lines
+    // (utils/stats_util.py:80-101). The one-row total broadcasts; the
+    // division is IEEE double with the same operand order as the
+    // DuckDB twin.
+    val totals = depthsAgg.agg(sum("n").as("total"))
+    val pcts = depthsAgg
+      .filter(col("state").isin(FrontierState.Processed, FrontierState.Failed))
+      .crossJoin(broadcast(totals))
+      .select(concat(lit("pct_"), col("state")).as("metric"),
+        (col("n").cast("double") * lit(100.0) / col("total").cast("double")).as("value"))
     // decimal-routed sums (order-independent), then cast to double
     // BEFORE any division — IEEE double ops are exactly specified, so
     // the DuckDB re-derivation over the payload dump is bit-identical
@@ -696,15 +708,22 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // A2 rollups: mean utilization + mean subs_quality over urls
       // (vad_first_parser.py:169-174, stats_util.py:12-18)
       (dsumD("utilization_rate") / count(lit(1)).cast("double")).as("avg_utilization"),
-      (dsumD("subs_quality") / count(lit(1)).cast("double")).as("avg_subs_quality"))
+      (dsumD("subs_quality") / count(lit(1)).cast("double")).as("avg_subs_quality"),
+      // A3 average piece length in seconds: good-piece durations are
+      // exactly what speech_duration_sec sums (reference analog:
+      // utils/slicing_utils.py:142), with the div-0 guard
+      when(sum("good_pieces") === 0, lit(0.0))
+        .otherwise(dsumD("speech_duration_sec") / sum("good_pieces").cast("double"))
+        .as("avg_good_piece_sec"))
       .select(explode(map(
         lit("speech_hours"), col("speech_hours"),
         lit("good_pieces"), col("good_pieces"),
         lit("total_pieces"), col("total_pieces"),
         lit("media_rows"), col("media_rows"),
         lit("avg_utilization"), col("avg_utilization"),
-        lit("avg_subs_quality"), col("avg_subs_quality"))).as(Seq("metric", "value")))
-    depths.unionByName(corpus)
+        lit("avg_subs_quality"), col("avg_subs_quality"),
+        lit("avg_good_piece_sec"), col("avg_good_piece_sec"))).as(Seq("metric", "value")))
+    depths.unionByName(pcts).unionByName(corpus)
   }
 }
 

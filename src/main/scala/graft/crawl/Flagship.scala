@@ -60,10 +60,38 @@ object Flagship {
   def crawlMedia(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     engine(spark, sfDir).payloadDf
-      .select(col("image_id"), col("w"), col("h"), col("fmt"),
+      .select(col("image_id"), col("w"), col("h"), col("fmt"), col("src_fmt"),
         col("caption"), col("phash"),
         length(col("bytes")).cast("long").as("n_bytes"), // bigint = octet_length dtype
         col("bytes_md5"))
+  }
+
+  /** q48 — the NORMALIZE-stage oracle: every stored payload must be the
+    * canonical normalized form. DuckDB predicts/recomputes each column
+    * from the payload dump independently: `norm_fmt` must be the
+    * literal "png", `sig_hex` the literal PNG magic, the decoded dims
+    * the stored (w, h), and `renorm_md5` — the md5 of RE-normalizing
+    * the stored bytes, computed Spark-side by actually decoding and
+    * re-encoding — must equal md5(hex(bytes)) over the dump, which
+    * hash-gates normalize idempotence AND storage integrity in one
+    * value. A payload that skipped the normalize stage (raw jpg bytes),
+    * a non-canonical encoder, or a non-idempotent chain all break the
+    * hash. */
+  def normalizeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    engine(spark, sfDir).payloadDf
+      .select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .map { case (id, fmt, bytes) =>
+        val sig = bytes.take(8).map(b => f"${b & 0xff}%02X").mkString
+        val dims = graft.image.ImageOps.decodeDims(bytes)
+        val renorm =
+          try graft.util.Hashing.md5OfHex(graft.image.ImageCodec.normalizePng(bytes))
+          catch { case _: Throwable => "decode-failed" }
+        (id, fmt, sig, dims.map(_.w.toLong).getOrElse(-1L),
+          dims.map(_.h.toLong).getOrElse(-1L), renorm)
+      }
+      .toDF("image_id", "norm_fmt", "sig_hex", "dec_w", "dec_h", "renorm_md5")
   }
 
   def crawlStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -113,6 +141,44 @@ object Flagship {
       }
       .toDF("image_id", "dec_w", "dec_h", "hist_px", "thumb_w", "thumb_h",
         "frames_px")
+  }
+
+  /** The q49 PIXEL DUMP (written by Verify next to the results): 16
+    * deterministically-positioned decoded pixels per image as raw
+    * (r, g, b) ints — the evidence DuckDB recomputes the luma binning
+    * from. Pixel VALUES are pinned independently by the parity suite
+    * (normalized bytes byte-match the oracle) and q44's raster-size
+    * invariant. */
+  def pixelSampleDump(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    engine(spark, sfDir).media.select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        graft.image.ImageOps.samplePixels(bytes).map {
+          case (idx, r, g, b) => (id, idx, r, g, b)
+        }
+      }
+      .toDF("image_id", "px_idx", "r", "g", "b")
+  }
+
+  /** q49 — the luma-BINNING oracle (the last computation q36 left
+    * rows-only): for the same 16 sampled pixels per image, the bin each
+    * pixel lands in, computed by the SHIPPED histogram code path
+    * (ImageOps.lumaOf + binOf over the decoded raster). DuckDB
+    * recomputes min(15, floor((0.299r + 0.587g + 0.114b)/16)) from the
+    * pixel dump — pure IEEE double ops, bit-identical — so the luma
+    * formula and the bin mapping are value-gated on the sample. */
+  def lumaBinning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.image.ImageOps
+    engine(spark, sfDir).media.select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        ImageOps.samplePixels(bytes).map { case (idx, r, g, b) =>
+          (id, idx, ImageOps.binOf(ImageOps.lumaOf(r, g, b)).toLong)
+        }
+      }
+      .toDF("image_id", "px_idx", "bin")
   }
 
   /** Global stats rollup (A4). No rounding: every value is either an

@@ -189,6 +189,20 @@ object ImageCodec {
     } finally iis.close()
   }
 
+  /** Payload NORMALIZE (the reference's pre-slicing ffmpeg chain,
+    * utils/audio_utils.py:37-111, recast for image payloads): decode
+    * whatever container was fetched and re-encode to the pipeline's
+    * canonical format — lossless PNG — exactly as the reference decodes
+    * m4a/webm downloads to canonical 16 kHz mono s16le wav before any
+    * downstream stage. Deterministic (fixed encoder, fixed raster
+    * layout) and IDEMPOTENT: normalize(normalize(x)) == normalize(x)
+    * byte-for-byte, which q48 hash-gates via DuckDB. Pixel-altering
+    * filters (the loudnorm/bandpass analogs) would slot in between
+    * decode and encode; the synthetic fixture keeps them identity so
+    * the per-row PSNR-vs-source invariant stays exact. */
+  def normalizePng(bytes: Array[Byte]): Array[Byte] =
+    encode(decode(bytes), "png")
+
   def pixels(img: BufferedImage): Array[Int] =
     img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
 

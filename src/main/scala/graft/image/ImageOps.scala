@@ -42,6 +42,16 @@ object ImageOps {
       Some(ImageCodec.encode(dst, "png"))
     } catch { case _: Throwable => None }
 
+  /** BT.601 luma of an RGB triple — THE formula the histogram uses;
+    * exposed so q49's sampled oracle gates the shipped code path, not a
+    * re-derivation. Pure IEEE double ops (two products, two adds), so
+    * DuckDB's recomputation over the dumped (r, g, b) is bit-identical. */
+  def lumaOf(r: Int, g: Int, b: Int): Double = 0.299 * r + 0.587 * g + 0.114 * b
+
+  /** Histogram bin of a luma value — min(15, floor(y/16)); shared by
+    * the histogram loop and q49. */
+  def binOf(y: Double): Int = math.min(15, (y / 16).toInt)
+
   /** 16-bin normalized luma histogram — the feature-extract op. */
   def lumaHist16(bytes: Array[Byte]): Option[Seq[Double]] =
     try {
@@ -50,12 +60,29 @@ object ImageOps {
       val px = ImageCodec.pixels(img)
       val bins = new Array[Double](16)
       px.foreach { p =>
-        val y = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
-          0.114 * (p & 0xff)
-        bins(math.min(15, (y / 16).toInt)) += 1
+        val y = lumaOf((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        bins(binOf(y)) += 1
       }
       Some(bins.map(_ / px.length).toSeq)
     } catch { case _: Throwable => None }
+
+  /** Deterministic n-point sample of the decoded raster (row-major
+    * positions i·(npx-1)/(n-1)): (px_idx, r, g, b) rows. Feeds both the
+    * q49 pixel dump and the q49 bin computation, so the two are
+    * consistent by construction; undecodable payloads sample to empty
+    * on both sides. */
+  def samplePixels(bytes: Array[Byte], n: Int = 16): Seq[(Long, Int, Int, Int)] =
+    try {
+      val img = ImageCodec.decode(bytes)
+      if (img == null) return Seq.empty
+      val px = ImageCodec.pixels(img)
+      if (px.isEmpty) return Seq.empty
+      (0 until n).map { i =>
+        val idx = (i.toLong * (px.length - 1)) / math.max(1, n - 1)
+        val p = px(idx.toInt)
+        (idx, (p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+      }
+    } catch { case _: Throwable => Seq.empty }
 
   /** Decoded-pixel count feeding the histogram — q44's invariant input.
     * What this DOES gate: the decode produced a pixel raster, and its

@@ -74,13 +74,19 @@ final case class FetchPayload(
     frames: Array[Boolean],
     cues: Seq[RawCue])
 
-/** Output payload row — exactly BASELINE.json.input_hint's shape. */
+/** Output payload row — BASELINE.json.input_hint's shape plus the
+  * source-format lineage column. `bytes` is the NORMALIZED payload
+  * (canonical PNG re-encode of the fetched media — the reference
+  * stores the ffmpeg-normalized wav, not the downloaded container,
+  * utils/audio_utils.py:37-111 → vad_first_parser.py:60-80); `fmt` is
+  * therefore always "png" and `src_fmt` records what was fetched. */
 final case class MediaRow(
     image_id: String,
     bytes: Array[Byte],
     w: Int,
     h: Int,
     fmt: String,
+    src_fmt: String,
     caption: String,
     phash: Long)
 
@@ -114,10 +120,11 @@ final case class UrlStats(
   * (a drain where every fetch failed commits nothing). */
 final case class PayloadRow(
     image_id: String,
-    bytes: Array[Byte],
+    bytes: Array[Byte],     // normalized (canonical PNG), see MediaRow
     w: Int,
     h: Int,
-    fmt: String,
+    fmt: String,            // storage format — "png" after normalize
+    src_fmt: String,        // fetched container format ("png" | "jpg")
     caption: String,
     phash: Long,
     // S12 verified-copy checksum: md5 of the UPPERCASE hex of bytes —

@@ -61,13 +61,20 @@ object UrlPipeline {
       }
     }
 
-    // reused per-thread image + pixel buffer: consumed by phash64
-    // immediately, nothing escapes this call
-    val decodedPixels = ImageCodec.pixelsReused(ImageCodec.decodeReused(payload.bytes))
+    // NORMALIZE between fetch and phash (the reference normalizes the
+    // audio before slicing, vad_first_parser.py:60-80): one decode
+    // serves both the canonical re-encode and the phash — the stored
+    // payload is the normalized bytes, and the phash is computed over
+    // the same (losslessly preserved) pixels. Reused per-thread image +
+    // pixel buffer: the encode consumes the image before this thread's
+    // next decode, nothing escapes this call.
+    val decoded = ImageCodec.decodeReused(payload.bytes)
+    val normBytes = ImageCodec.encode(decoded, "png")
+    val decodedPixels = ImageCodec.pixelsReused(decoded)
     val phash = ImageCodec.phash64(payload.w, payload.h, decodedPixels)
     val caption = pieceRows.filter(_.good).map(_.caption).mkString(" ")
-    val media = MediaRow(id, payload.bytes, payload.w, payload.h,
-      payload.fmt, caption, phash)
+    val media = MediaRow(id, normBytes, payload.w, payload.h,
+      fmt = "png", src_fmt = payload.fmt, caption, phash)
     // A2: total track duration = frame count × 10 ms (reference analog:
     // filtered-wav byte length / rate, vad_first_parser.py:169);
     // utilization = speech/total with the reference's div-0 guard

@@ -69,7 +69,15 @@ object Cue {
       |      tc -> cast(str_split(tc, ':')[1] as bigint) * 3600000
       |          + cast(str_split(tc, ':')[2] as bigint) * 60000
       |          + cast(str_split(str_split(tc, ':')[3], '.')[1] as bigint) * 1000
-      |          + cast(str_split(str_split(tc, ':')[3], '.')[2] as bigint)) AS tcs,
+      |          -- fraction = ms with pyvtt padding semantics, mirroring
+      |          -- CueParser.timecodeMs: '.2' = 200 ms, '.25' = 250,
+      |          -- >3 digits truncate ('.2507' = 250) — NOT a literal
+      |          -- integer parse (ADVICE r3: the fixture always writes
+      |          -- %03d, but the oracle must match the parser on every
+      |          -- reachable width)
+      |          + cast(substr(str_split(tc, '.')[2], 1, 3) as bigint)
+      |            * (CASE len(substr(str_split(tc, '.')[2], 1, 3))
+      |               WHEN 1 THEN 100 WHEN 2 THEN 10 ELSE 1 END)) AS tcs,
       |    list_filter(
       |      regexp_split_to_array(regexp_replace(lastrow, '<[^>]*>', '', 'g'),
       |                            '[${Text.WsClass}]+'),

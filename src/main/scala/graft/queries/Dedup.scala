@@ -67,32 +67,34 @@ object Dedup {
 
   /** n-gram Jaccard near-dup: pairs within a source sharing >= 1
     * (non-hot) shingle, jaccard = |A∩B| / |A∪B| over the capped shingle
-    * space (exact ints → exact double). */
+    * space (exact ints → exact double).
+    *
+    * Shape (r4, VERDICT r3 #8): single-pass group-and-explode. The df
+    * cap makes every (source, sh) group ≤ MaxShingleDf docs, so
+    * collecting the group's (doc_id, n_sh) structs into one agg buffer
+    * is bounded at 50 entries — the unbounded-hot-shingle concern that
+    * justified r3's self-join shape disappears once the cap runs FIRST.
+    * Each group then emits its ≤ df² ordered pairs map-side, already
+    * carrying both docs' shingle counts, so the plan is 4 key shuffles
+    * (df window, n_sh window, group, pair agg) with NO joins and no
+    * re-used subtree to checkpoint. The r3 alternative (checkpoint +
+    * self-join + two size joins) is recorded in PLANS.md; it measured
+    * ~1.9× slower at sf0.1. */
   def q21NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // df cap via key-partitioned window — one shuffle on (source, sh),
-    // the same key the pair join uses
     val wDf = Window.partitionBy("source", "sh")
-    // materialize the capped shingle set ONCE: its three consumers
-    // (pair-join sides a/b + sizes) would otherwise each re-plan the
-    // scan+explode+window subtree — r2's plan ran 4 corpus scans
-    // (VERDICT "what's wrong" #3). localCheckpoint keeps InternalRow
-    // blocks (codegen-friendly scans, no Row round-trip) and the
-    // ContextCleaner frees them when the frame is GC'd — unlike cache(),
-    // nothing leaks across queries.
+    val wDoc = Window.partitionBy("doc_id")
     val sh = shingled(s, d)
       .withColumn("__df", count(lit(1)).over(wDf))
       .filter(col("__df") <= MaxShingleDf)
-      .drop("__df")
-      .localCheckpoint()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("source"), col("sh"))
-    a.join(b, Seq("source", "sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+    sh.groupBy("source", "sh")
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        min("a.n_sh").as("n_a"), min("b.n_sh").as("n_b"))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
       .filter(col("jaccard") >= 0.02)
@@ -295,23 +297,33 @@ object Dedup {
     // decrease, so changed == 0 is the fixpoint) — not a label-sum
     // compare, which overflows Long at ~10^10 × 10^10-magnitude ids
     // (ANSI mode would throw; wraparound could falsely converge)
-    var converged = false
-    var rounds = 0
-    while (!converged) {
-      rounds += 1
-      // label pointers as extra propagation edges: label(u) → u hands u
-      // the value label(label(u)). Label values are themselves node ids
-      // (initially self; afterwards mins over other labels), so the
-      // join below always finds them in `labels`.
+    // one two-hop propagation round as a PLAN (no materialization):
+    // label pointers ride along as extra propagation edges — label(u)→u
+    // hands u the value label(label(u)). Label values are themselves
+    // node ids (initially self; afterwards mins over other labels), so
+    // the join always finds them in `labels`.
+    def round(l: DataFrame): DataFrame = {
       val aug = edges.unionByName(
-        labels.select(col("label").as("u"), col("doc_id").as("v")))
+        l.select(col("label").as("u"), col("doc_id").as("v")))
       val prop = aug
-        .join(labels.select(col("doc_id").as("u"), col("label").as("ulabel")), "u")
+        .join(l.select(col("doc_id").as("u"), col("label").as("ulabel")), "u")
         .groupBy("v").agg(min("ulabel").as("nlabel"))
         .withColumnRenamed("v", "doc_id")
-      val step = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label").as("__old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // passthrough columns (e.g. the __old snapshot) ride along
+      val keep = l.columns.filterNot(_ == "label").map(col).toSeq
+      l.join(prop, Seq("doc_id"), "left")
+        .select(keep :+
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"): _*)
+    }
+    var converged = false
+    var rounds = 0
+    // one materialization + one count per round. (Fusing two rounds per
+    // checkpoint was measured SLOWER at sf0.1 — the inner round's
+    // subtree is referenced three times and ReuseExchange does not
+    // collapse it under AQE — so the loop stays one-round-per-job.)
+    while (!converged) {
+      rounds += 1
+      val step = round(labels.withColumn("__old", col("label")))
         .localCheckpoint()
       converged = step.filter(col("label") =!= col("__old")).count() == 0
       labels = step.drop("__old")

@@ -31,6 +31,8 @@ object Engine {
     "q37_global_stats"    -> (Flagship.globalStats _),
     "q44_media_invariants" -> (Flagship.mediaInvariants _),
     "q46_time_travel"     -> (Flagship.frontierAsof _),
+    "q48_normalize_audit" -> (Flagship.normalizeAudit _),
+    "q49_luma_binning"    -> (Flagship.lumaBinning _),
   )
 
   /** Latest-wins resolution of a raw snapshot-table dump — the DuckDB
@@ -53,7 +55,7 @@ object Engine {
     * verified-copy audit, run by the driver's independent engine. */
   val q31Sql: String =
     s"""WITH p AS (${resolved("dump_payload_raw", "image_id")})
-       |SELECT image_id, w, h, fmt, caption, phash,
+       |SELECT image_id, w, h, fmt, src_fmt, caption, phash,
        |  octet_length(bytes) AS n_bytes,
        |  md5(hex(bytes)) AS bytes_md5
        |FROM p""".stripMargin
@@ -120,6 +122,13 @@ object Engine {
        |p AS (${resolved("dump_payload_raw", "image_id")})
        |SELECT concat('queue_', state) AS metric, cast(count(*) AS double) AS value
        |FROM f GROUP BY state
+       |UNION ALL SELECT concat('pct_', state),
+       |  cast(count(*) AS double) * 100.0 / cast((SELECT count(*) FROM f) AS double)
+       |FROM f WHERE state IN ('processed', 'failed') GROUP BY state
+       |UNION ALL SELECT 'avg_good_piece_sec',
+       |  CASE WHEN sum(good_pieces) = 0 THEN 0.0
+       |       ELSE cast(sum(cast(speech_duration_sec AS decimal(28,9))) AS double)
+       |            / cast(sum(good_pieces) AS double) END FROM p
        |UNION ALL SELECT 'speech_hours',
        |  cast(sum(cast(speech_duration_sec AS decimal(28,9))) AS double) / 3600.0 FROM p
        |UNION ALL SELECT 'good_pieces', cast(sum(good_pieces) AS double) FROM p
@@ -146,6 +155,34 @@ object Engine {
        |  cast(768 AS bigint) AS frames_px
        |FROM p""".stripMargin
 
+  /** q48 normalize-stage audit: every stored payload must be the
+    * canonical normalized PNG (the reference stores ffmpeg-normalized
+    * wav, not the download). The oracle predicts format + magic + dims
+    * from independent metadata and re-derives md5(hex(bytes)) — which
+    * the Spark side must reproduce by actually decoding and
+    * RE-normalizing the stored bytes, hash-gating idempotence. */
+  val q48Sql: String =
+    s"""WITH p AS (${resolved("dump_payload_raw", "image_id")})
+       |SELECT image_id,
+       |  'png' AS norm_fmt,
+       |  '89504E470D0A1A0A' AS sig_hex,
+       |  cast(w AS bigint) AS dec_w, cast(h AS bigint) AS dec_h,
+       |  md5(hex(bytes)) AS renorm_md5
+       |FROM p""".stripMargin
+
+  /** q49 luma binning (closing q36's last un-oracled computation): the
+    * Spark side bins 16 sampled decoded pixels per image through the
+    * SHIPPED ImageOps.lumaOf/binOf path; DuckDB recomputes the BT.601
+    * luma and min(15, floor(y/16)) from the dumped raw (r, g, b) —
+    * IEEE-double bit-identical, so formula or binning drift breaks the
+    * hash. */
+  val q49Sql: String =
+    """SELECT image_id, px_idx,
+      |  least(15, cast(floor(
+      |    (cast(0.299 AS double) * r + cast(0.587 AS double) * g
+      |      + cast(0.114 AS double) * b) / 16) AS bigint)) AS bin
+      |FROM read_parquet('{{DUMPS}}/dump_media_pixels/*.parquet')""".stripMargin
+
   /** q46 time travel: Verify dumps the HISTORICAL manifest's raw file
     * list (readRawAt), and DuckDB resolves that state latest-wins — the
     * same resolver as q30, over a different (pinned, older) file set.
@@ -167,5 +204,7 @@ object Engine {
     "q37_global_stats"   -> q37Sql,
     "q44_media_invariants" -> q44Sql,
     "q46_time_travel"    -> q46Sql,
+    "q48_normalize_audit" -> q48Sql,
+    "q49_luma_binning"    -> q49Sql,
   )
 }

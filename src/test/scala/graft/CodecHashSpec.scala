@@ -22,6 +22,30 @@ class CodecHashSpec extends AnyFunSuite {
     }
   }
 
+  test("normalize: canonical PNG, pixel-preserving, idempotent, path-stable") {
+    var sawJpg = false
+    (0 until 20).foreach { i =>
+      val url = s"http://host$i.example.com/v/item$i"
+      val pay = Synth.fetch(url)
+      if (pay.ok) {
+        val norm = ImageCodec.normalizePng(pay.bytes)
+        // PNG magic
+        assert((norm(0) & 0xff) == 0x89 && norm(1) == 'P' && norm(2) == 'N' && norm(3) == 'G')
+        // lossless: decoded pixels identical to the fetched container's
+        assert(ImageCodec.pixels(ImageCodec.decode(norm)).toSeq ===
+               ImageCodec.pixels(ImageCodec.decode(pay.bytes)).toSeq)
+        // idempotent byte-for-byte (what q48 hash-gates via DuckDB)
+        assert(java.util.Arrays.equals(ImageCodec.normalizePng(norm), norm))
+        // the pipeline's reused-decode path emits the SAME bytes as the
+        // audit's fresh-decode path — q48's renorm_md5 relies on this
+        val viaReused = ImageCodec.encode(ImageCodec.decodeReused(pay.bytes), "png")
+        assert(java.util.Arrays.equals(viaReused, norm))
+        if (pay.fmt == "jpg") sawJpg = true
+      }
+    }
+    assert(sawJpg, "fixture should cover lossy sources")
+  }
+
   test("JVM xx64 matches Spark xxhash64 column bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
