@@ -66,6 +66,14 @@ object Verify {
       graft.crawl.Flagship.pixelSampleDump(spark, sfDir)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$dumpsAbs/dump_media_pixels")
+      // q50 lineage: the manifest JSONs + CURRENT pointer, copied
+      // VERBATIM — DuckDB parses the storage format independently
+      val metaDir = java.nio.file.Paths.get(dumpsAbs, "dump_frontier_meta")
+      java.nio.file.Files.createDirectories(metaDir)
+      eng.frontier.manifestFiles.foreach { p =>
+        java.nio.file.Files.copy(p, metaDir.resolve(p.getFileName.toString),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[verify] engine dumps failed: ${e.getMessage}")
     }

@@ -181,6 +181,16 @@ object Flagship {
       .toDF("image_id", "px_idx", "bin")
   }
 
+  /** q50 — the per-partition LINEAGE metadata table (north rule:
+    * "per-partition lineage manifests and metrics"; Iceberg
+    * `table.files` parity): the frontier's current manifest as a
+    * queryable frame. The DuckDB oracle re-derives it by parsing the
+    * manifest JSON + CURRENT pointer files that Verify copies verbatim
+    * next to the dumps — so the gate checks the actual storage format,
+    * not a Spark-resolved copy. */
+  def lineage(spark: SparkSession, sfDir: String): DataFrame =
+    engine(spark, sfDir).frontier.filesMetadata(spark)
+
   /** Global stats rollup (A4). No rounding: every value is either an
     * exact count or a decimal-routed sum followed by IEEE double ops,
     * both bit-reproducible in the DuckDB re-derivation. */

@@ -33,6 +33,7 @@ object Engine {
     "q46_time_travel"     -> (Flagship.frontierAsof _),
     "q48_normalize_audit" -> (Flagship.normalizeAudit _),
     "q49_luma_binning"    -> (Flagship.lumaBinning _),
+    "q50_lineage"         -> (Flagship.lineage _),
   )
 
   /** Latest-wins resolution of a raw snapshot-table dump — the DuckDB
@@ -183,6 +184,24 @@ object Engine {
       |      + cast(0.114 AS double) * b) / 16) AS bigint)) AS bin
       |FROM read_parquet('{{DUMPS}}/dump_media_pixels/*.parquet')""".stripMargin
 
+  /** q50 lineage: DuckDB independently parses the snapshot-manifest
+    * JSON files + the CURRENT pointer (copied verbatim by Verify) and
+    * reconstructs the current manifest's per-file lineage — gating the
+    * manifest storage format itself (field names, per-file rows/bytes/
+    * tag/bucket, the CURRENT indirection) against the engine's
+    * metadata-table view. */
+  val q50Sql: String =
+    """WITH cur AS (
+      |  SELECT cast(column0 AS bigint) AS id
+      |  FROM read_csv('{{DUMPS}}/dump_frontier_meta/CURRENT',
+      |                header=false, columns={'column0':'VARCHAR'})),
+      |m AS (SELECT * FROM read_json('{{DUMPS}}/dump_frontier_meta/snap-*.json')),
+      |f AS (SELECT m.id AS snap_id, unnest(m.files, recursive := true)
+      |      FROM m JOIN cur ON m.id = cur.id)
+      |SELECT snap_id, path, kind, deltaSeq AS delta_seq, rows, bytes, tag,
+      |  cast(bucket AS bigint) AS bucket
+      |FROM f""".stripMargin
+
   /** q46 time travel: Verify dumps the HISTORICAL manifest's raw file
     * list (readRawAt), and DuckDB resolves that state latest-wins — the
     * same resolver as q30, over a different (pinned, older) file set.
@@ -206,5 +225,6 @@ object Engine {
     "q46_time_travel"    -> q46Sql,
     "q48_normalize_audit" -> q48Sql,
     "q49_luma_binning"    -> q49Sql,
+    "q50_lineage"         -> q50Sql,
   )
 }

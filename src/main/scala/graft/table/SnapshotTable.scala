@@ -294,6 +294,54 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
       }.reduce(_ unionByName _)
     }
 
+  /** METADATA TABLE (Iceberg `table.files` parity): the current
+    * manifest's per-file lineage — kind, commit (deltaSeq), rows,
+    * bytes, key range, lifecycle tag, bucket — as a queryable
+    * DataFrame. Driver-side construction is correct here for the same
+    * reason it is in Iceberg: this is metadata, bounded by file count
+    * (compaction + expire keep it O(active set)), not data. The q50
+    * oracle re-derives it in DuckDB by independently parsing the
+    * manifest JSON files, so the STORAGE FORMAT itself is gated. */
+  def filesMetadata(spark2: SparkSession): DataFrame = {
+    import spark2.implicits._
+    currentManifest match {
+      case None => spark2.emptyDataset[(Long, String, String, Long, Long, Long, String, Long)]
+        .toDF("snap_id", "path", "kind", "delta_seq", "rows", "bytes", "tag", "bucket")
+      case Some(m) =>
+        m.files.map(f => (m.id, f.path, f.kind, f.deltaSeq, f.rows, f.bytes,
+          f.tag, f.bucket.toLong)).toDF(
+          "snap_id", "path", "kind", "delta_seq", "rows", "bytes", "tag", "bucket")
+    }
+  }
+
+  /** METADATA TABLE (Iceberg `table.history`/`snapshots` parity): one
+    * row per RETAINED snapshot — id, parent, file/row/byte totals and
+    * the commit's metrics map (flattened to sorted `k=v` pairs so the
+    * row is hashable cross-engine). */
+  def historyMetadata(spark2: SparkSession): DataFrame = {
+    import spark2.implicits._
+    val ids = retainedSnapshotIds
+    ids.map { id =>
+      val m = manifest(id)
+      (m.id, m.parent.getOrElse(-1L), m.files.size.toLong,
+        m.files.map(_.rows).sum, m.files.map(_.bytes).sum,
+        m.metrics.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.1f" }.mkString(","))
+    }.toDF("snap_id", "parent_id", "n_files", "total_rows", "total_bytes", "metrics")
+  }
+
+  /** Ids of every snapshot json still on disk (ascending). */
+  def retainedSnapshotIds: Seq[Long] =
+    Files.list(snapDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("snap-"))
+      .map(s => s.stripPrefix("snap-").stripSuffix(".json").toLong).toSeq.sorted
+
+  /** Filesystem paths of the retained snapshot manifests + the CURRENT
+    * pointer — what Verify copies next to the dumps so the q50 oracle
+    * can parse the storage format independently. */
+  def manifestFiles: Seq[Path] =
+    retainedSnapshotIds.map(id => snapDir.resolve(f"snap-$id%06d.json")) :+
+      root.resolve("CURRENT")
+
   /** Append new rows (new keys) as base files. */
   def commitAppend(df: DataFrame, metrics: Map[String, Double] = Map.empty,
                    props: Map[String, String] = Map.empty): Long =
@@ -367,9 +415,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
   /** Drop snapshots older than the newest `keepLast`, deleting data
     * files no retained snapshot references. */
   def expire(keepLast: Int): Unit = {
-    val ids = Files.list(snapDir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("snap-"))
-      .map(s => s.stripPrefix("snap-").stripSuffix(".json").toLong).toSeq.sorted
+    val ids = retainedSnapshotIds
     val (drop, keep) = ids.splitAt(math.max(0, ids.length - keepLast))
     if (drop.isEmpty) return
     val referenced = keep.flatMap(id => manifest(id).files.map(_.path)).toSet

@@ -46,6 +46,19 @@ class BucketedClaimSpec extends AnyFunSuite {
     assert(engine.seenSet.as[Long].collect().sorted.toSeq === oracle.seen)
   }
 
+  test("bucketed delta commits write exactly one file per (tag, bucket)") {
+    // the writeData repartition guarantees it — without it, partitionBy
+    // splits every writer task across all its (tag, bucket) combos and
+    // a B-bucket table writes O(tasks·B) near-empty files per commit.
+    // Base generations from successive compactions share deltaSeq 0, so
+    // the per-commit invariant is only checkable on deltas.
+    val deltas = engine.frontier.currentManifest.get.files.filter(_.deltaSeq > 0)
+    assert(deltas.nonEmpty)
+    deltas.groupBy(f => (f.deltaSeq, f.tag, f.bucket)).foreach { case (k, fs) =>
+      assert(fs.size === 1, s"commit wrote ${fs.size} files for (deltaSeq, tag, bucket)=$k")
+    }
+  }
+
   test("every committed frontier file carries a bucket consistent with its rows") {
     import org.apache.spark.sql.functions._
     val files = engine.frontier.currentManifest.get.files

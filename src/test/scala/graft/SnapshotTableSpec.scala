@@ -19,6 +19,23 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(m.metrics("m") === 1.0)
   }
 
+  test("metadata tables: files + history views match the manifest") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, freshDir(), "k")
+    t.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Map("batch" -> 1.0))
+    t.commitUpsert(Seq((2L, "B")).toDF("k", "v"))
+    val m = t.currentManifest.get
+    val fm = t.filesMetadata(spark).collect()
+    assert(fm.length === m.files.size)
+    assert(fm.map(_.getAs[Long]("rows")).sum === m.files.map(_.rows).sum)
+    assert(fm.map(_.getAs[Long]("snap_id")).distinct.toSeq === Seq(m.id))
+    val hist = t.historyMetadata(spark).orderBy("snap_id").collect()
+    assert(hist.length === t.retainedSnapshotIds.size)
+    assert(hist.last.getAs[Long]("snap_id") === m.id)
+    assert(hist.last.getAs[Long]("total_rows") === m.files.map(_.rows).sum)
+    assert(hist.last.getAs[Long]("parent_id") === m.parent.get)
+  }
+
   test("layout is persisted and a mismatched reopen is rejected") {
     import spark.implicits._
     val dir = freshDir()
