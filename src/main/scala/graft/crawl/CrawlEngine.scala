@@ -184,6 +184,49 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     enqueue(Frontier.toEntries(spark, withSeq, batchNo = 0L, cfg.seed), batchNo = 0L)
   }
 
+  /** STREAMING seed ingestion — S1's Structured Streaming twin: watch a
+    * directory of seed-list text files and push every micro-batch
+    * through the SAME dedup gate + seq assignment as the batch path.
+    * `foreachBatch` is the canonical sink shape when the sink is a
+    * transactional table the engine owns; a replayed micro-batch (the
+    * failure mode foreachBatch admits) re-enqueues rows the gate then
+    * drops — the idempotent sink that makes the stream effectively
+    * exactly-once. Within a micro-batch the enqueue order (hence seq)
+    * is (file, url): a micro-batch has no stable line order across
+    * retries, so the contract orders by file then url — deterministic
+    * under replay and under any partitioning (StreamingSeedSpec pins
+    * it against the batch path). `discoveredAt` = the streaming
+    * micro-batch id. Single-writer rule unchanged: the caller must not
+    * drain concurrently with an active stream (the reference's writer
+    * thread serialized its queues the same way).
+    *
+    * Caller drives the query (processAllAvailable/stop); the
+    * checkpoint lives under the engine's workDir so a restarted stream
+    * resumes from its offset log. */
+  def streamSeeds(watchDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.Dataset
+    spark.readStream.textFile(watchDir)
+      .writeStream
+      .option("checkpointLocation", s"$workDir/seed_stream_checkpoint")
+      .foreachBatch { (batch: Dataset[String], batchId: Long) =>
+        val lines = batch
+          .withColumn("file", input_file_name())
+          .filter(trim(col("value")) =!= "") // F1 blank-row drop
+          .select(col("file"), col("value").as("url"))
+        val (ranked, _) = graft.util.Rank.withGlobalRank(
+          lines, Seq(col("file"), col("url")), "__rn", numParts = 8)
+        val base = currentMaxSeq + 1
+        val seeds = ranked
+          .withColumn("seq", lit(base) + col("__rn") - 1)
+          .withColumn("priority", lit(Frontier.NormalPriority))
+          .select("url", "priority", "seq").as[SeedUrl]
+        enqueue(Frontier.toEntries(spark, seeds, batchNo = batchId, cfg.seed),
+          batchNo = batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Enqueue search queries into the persistent keyword queue (Q10,
     * utils/queue_utils.py:42-57): dedup by query key (the reference's
     * is-already-searched check), append as pending. Returns queries
