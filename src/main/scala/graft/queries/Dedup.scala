@@ -138,16 +138,27 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs: 4 bands × 2 rows; pair iff some band
     * signature matches (the shingle→minhash→band→bucket-join scale path:
-    * no all-pairs comparison ever materializes). */
+    * no all-pairs comparison ever materializes).
+    *
+    * The signatures are computed WIDE — one groupBy(doc_id) with 8 min
+    * aggregates over per-shingle md5 columns — instead of reusing
+    * q22's long format, whose `explode(0..7)` inflates every shingle
+    * row 8× before the shuffle. Values are identical by construction
+    * (min over md5(i || '|' || sh) either way; the q23/q45 DuckDB
+    * oracles gate it); the band explode afterwards is 4 rows per DOC,
+    * not 8 per shingle. */
   def q23MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sig = q22MinhashSig(s, d)
-      .withColumn("band", (col("i") / 2).cast("int"))
-    // same single-materialization treatment as q21: both join sides
-    // would otherwise recompute the whole shingle→minhash→band pipeline
-    val bandSig = sig.groupBy("doc_id", "band")
-      .agg(concat_ws("|",
-        min(when(col("i") % 2 === 0, col("minhash"))),
-        min(when(col("i") % 2 === 1, col("minhash")))).as("band_sig"))
+    val sh = shingled(s, d)
+    val aggs = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i"))
+    val wide = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // materialized ONCE (same treatment as before): both join sides
+    // would otherwise recompute the whole shingle→minhash pipeline
+    val bandSig = wide.select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          concat_ws("|", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("band_sig"))): _*
+      )).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
       .localCheckpoint()
     val a = bandSig.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
     val b = bandSig.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
