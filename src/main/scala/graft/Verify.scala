@@ -67,8 +67,16 @@ object Verify {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$dumpsAbs/dump_media_pixels")
       // q50 lineage: the manifest JSONs + CURRENT pointer, copied
-      // VERBATIM — DuckDB parses the storage format independently
+      // VERBATIM — DuckDB parses the storage format independently.
+      // The dir is cleared first: parquet dumps get mode("overwrite"),
+      // but stale snap-*.json from a previous run into the same outDir
+      // would otherwise survive and be globbed by the oracle
       val metaDir = java.nio.file.Paths.get(dumpsAbs, "dump_frontier_meta")
+      if (java.nio.file.Files.exists(metaDir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(metaDir).iterator().asScala
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
       java.nio.file.Files.createDirectories(metaDir)
       eng.frontier.manifestFiles.foreach { p =>
         java.nio.file.Files.copy(p, metaDir.resolve(p.getFileName.toString),

@@ -57,10 +57,15 @@ final case class CrawlConfig(
   *   [claim ∥ previous tail] → [processing-commit ∥ process] →
   *   [payload-commit ∥ enqueue] → tail (terminal-commit + hygiene,
   *   deferred into the NEXT batch's window when drain() runs pipelined).
-  * The lane serializes every commit, so the durability ORDER is
-  * unchanged from the serial loop (processing → payload → seen →
-  * append → terminal) and each overlap is joined before the first
-  * commit that depends on it. The crawl log lives INSIDE the frontier
+  * The durability ORDER this preserves: processing strictly first,
+  * then payload (lane) CONCURRENT with seen → append (driver) — the
+  * same concurrency the serial loop already had — then terminal
+  * strictly last; each overlap is joined before the first commit that
+  * depends on it. (payload↔seen/append have no mutual order, and none
+  * is needed: a crash with either side missing leaves the rows in
+  * `processing`, and resume() replays both idempotently — the payload
+  * upsert rewrites identical content, the gate drops re-discovered
+  * links.) The crawl log lives INSIDE the frontier
   * (processedAt column) and media/pieces/stats share one payload table
   * — three separate sinks would triple the commit cost for nothing.
   */
@@ -69,9 +74,10 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
 
   import spark.implicits._
 
-  /** Per-ENGINE background lane for the payload commit (it overlaps the
-    * discovery/enqueue chain each batch; both only read the cached
-    * processed dataset). Instance-scoped so concurrent engines in one
+  /** Per-ENGINE commit lane (single thread): the processing/payload/
+    * terminal commits and table hygiene ride it, overlapped with
+    * compute that only reads checkpointed data. Instance-scoped so
+    * concurrent engines in one
     * JVM never serialize or inherit each other's commits; daemon so JVM
     * exit is never held up. */
   private val commitPool: java.util.concurrent.ExecutorService =
@@ -144,6 +150,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
 
   /** Seed the frontier (batch 0). Idempotent dedup via the gate. */
   def init(nSeeds: Int): Unit = {
+    quiesce() // no public writer may overlap a deferred batch tail
     val seeds = spark.createDataset(Synth.seedUrls(nSeeds, cfg.nHosts, cfg.seed))
     enqueue(Frontier.toEntries(spark, seeds, batchNo = 0L, cfg.seed), batchNo = 0L)
   }
@@ -172,6 +179,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     * parallel — the global-window version pushed the whole file
     * through one task. */
   def initFromTextFile(path: String): Long = {
+    quiesce()
     val base = currentMaxSeq + 1
     val lines = spark.sparkContext.textFile(path)
       .filter(l => l.trim.nonEmpty) // F1 blank-row drop
@@ -204,6 +212,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     * checkpoint lives under the engine's workDir so a restarted stream
     * resumes from its offset log. */
   def streamSeeds(watchDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    quiesce()
     import org.apache.spark.sql.Dataset
     spark.readStream.textFile(watchDir)
       .writeStream
@@ -232,6 +241,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     * is-already-searched check), append as pending. Returns queries
     * added. */
   def enqueueSearches(qs: Seq[String]): Long = {
+    quiesce()
     // one table read serves both the max-seq lookup and the dedup gate
     val existing =
       if (keywords.currentId.isEmpty || keywords.isEmpty) None
@@ -263,6 +273,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     * deliberately: it models a rate-limited remote API scan (50/page),
     * not a data-parallel operator. */
   def searchBatch(k: Int): (Long, Long) = {
+    quiesce()
     if (keywords.currentId.isEmpty || keywords.isEmpty) return (0L, 0L)
     val claimed = keywords.readStates(Set("pending")) // pruned: pending files only
       .orderBy("seq").limit(k)
@@ -304,6 +315,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     * page, in-page idx) — equivalence-tested to identical enqueue sets.
     * No `.collect()` anywhere. */
   def searchBatchParallel(k: Int): (Long, Long) = {
+    quiesce()
     if (keywords.currentId.isEmpty || keywords.isEmpty) return (0L, 0L)
     val claimed = keywords.readStates(Set("pending"))
       .orderBy("seq").limit(k).select("query", "seq").cache()
@@ -360,6 +372,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
   /** Recovery (Q9): processing → pending at RecoveryPriority. Reads
     * only processing-tagged files — the stuck set, not the table. */
   def resume(): Long = {
+    quiesce()
     if (frontier.currentId.isEmpty) return 0L
     val stuck = Frontier.recover(frontier.readStates(Set(FrontierState.Processing)))
     val n = stuck.count()
@@ -452,6 +465,13 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
   private def runnable(body: => Unit): Runnable =
     new Runnable { override def run(): Unit = body }
 
+  /** One micro-batch with a synchronous tail: every commit is durable
+    * on return. The pipelined variant below is PRIVATE to drain() —
+    * exposing `defer` would let a caller overlap the deferred terminal
+    * commit with another public writer (resume, enqueue paths), i.e.
+    * two concurrent frontier commits racing on CURRENT. */
+  def runBatch(batchNo: Long): Long = runBatch(batchNo, defer = false)
+
   /** One micro-batch. Returns number of urls processed (0 = drained).
     *
     * `defer`: when true (drain's pipelined loop), the batch TAIL —
@@ -461,9 +481,8 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     * and every later frontier write first joins it, so commit ORDER is
     * exactly the serial story and crash safety is unchanged: a crash
     * before the deferred terminal commit lands leaves rows in
-    * `processing` for resume(). Direct callers keep the default
-    * (synchronous tail): table state is fully committed on return. */
-  def runBatch(batchNo: Long, defer: Boolean = false): Long = {
+    * `processing` for resume(). */
+  private def runBatch(batchNo: Long, defer: Boolean): Long = {
     if (frontier.currentId.isEmpty) { quiesce(); return 0L } // never initialized
     // PRUNED claim read: resolves only pending-tagged files (+ key
     // columns of since-compaction deltas for shadowing) — terminal base
@@ -494,11 +513,19 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     var payloadFuture: java.util.concurrent.Future[_] = null
     var payloadJoined = false
     try {
+      // localCheckpoint, NOT cache: the claim's lineage reads LIVE
+      // frontier state, so a recomputation after block loss (executor
+      // death on a real cluster) would re-evaluate it AFTER this
+      // batch's own commits changed that state — silently claiming
+      // different rows. Checkpointing truncates the lineage: block loss
+      // fails the job instead (fail-stop), the batch aborts with rows
+      // still recoverable, and resume() replays. Blocks are freed by
+      // the ContextCleaner when the frame is unreferenced.
       claimed = (if (bucketed)
         Frontier.claimBucketedBySynthPolicy(frontier, spark, cfg.seed,
           cfg.batchSize, cfg.batchMs)
       else Frontier.claimBySynthPolicy(pending, cfg.seed,
-        cfg.batchSize, cfg.batchMs)).cache()
+        cfg.batchSize, cfg.batchMs)).localCheckpoint(false)
       val nClaimed = phase("claim")(claimed.count())
       quiesce() // join the previous deferred tail before any write of our own
       if (nClaimed == 0) return 0L
@@ -506,7 +533,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // checkpoint: claimed rows become `processing` — crash after this
       // commit is what resume() recovers from. It runs on the commit
       // lane CONCURRENT with the process materialization below (both
-      // read only the cached claim); the join after the process count
+      // read only the checkpointed claim); the join after the process count
       // keeps it strictly before every later commit. A crash while it
       // is in flight leaves the rows `pending` — the batch replays from
       // scratch, idempotently.
@@ -543,6 +570,12 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
             total_pieces = r.stats.map(_.total_pieces).getOrElse(0),
             outlinks = if (r.ok) Synth.outlinks(url, universe, nHosts, seed) else Seq.empty)
         }.cache()
+      // cache (not checkpoint — measured 5× cheaper for these wide
+      // payload rows) is SAFE here because the lineage beneath it is
+      // deterministic: the claim above is lineage-truncated, so a lost
+      // `processed` block recomputes through the pinned claim blocks
+      // and the pure fetch/process map — never through a re-claim
+      // against moved-on frontier state.
 
       val nOk = phase("process")(processed.filter(_.ok).count())
       // the processing checkpoint must be durable before any downstream
@@ -556,7 +589,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // replays to identical content, and re-discovered links are
       // dropped by the dedup gate. Nothing is ever lost or duplicated.
       // The payload commit and the discovery/enqueue chain touch
-      // DIFFERENT tables and both read only the cached `processed`
+      // DIFFERENT tables and both read only the checkpointed `processed`
       // dataset, so they run CONCURRENTLY; the await before the
       // terminal commit preserves the ordering invariant. (Within the
       // enqueue chain itself, seen-insert must stay BEFORE the frontier
@@ -631,6 +664,9 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // — without this a long drain accumulates every snapshot json +
       // data file forever. keepLast=8 retains enough history for
       // restore() while bounding disk.
+      // the tail owns the `processed` cache from here: it unpersists
+      // after the terminal commit (a recompute in between is safe —
+      // deterministic lineage over the pinned claim — just wasteful)
       val processedLocal = processed
       val tail = runnable {
         try {
@@ -673,7 +709,6 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
         }
       }
       if (!tailOwnsProcessed && processed != null) processed.unpersist()
-      if (claimed != null) claimed.unpersist()
     }
   }
 

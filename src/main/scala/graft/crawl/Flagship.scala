@@ -84,12 +84,16 @@ object Flagship {
       .as[(String, String, Array[Byte])]
       .map { case (id, fmt, bytes) =>
         val sig = bytes.take(8).map(b => f"${b & 0xff}%02X").mkString
-        val dims = graft.image.ImageOps.decodeDims(bytes)
-        val renorm =
-          try graft.util.Hashing.md5OfHex(graft.image.ImageCodec.normalizePng(bytes))
-          catch { case _: Throwable => "decode-failed" }
-        (id, fmt, sig, dims.map(_.w.toLong).getOrElse(-1L),
-          dims.map(_.h.toLong).getOrElse(-1L), renorm)
+        // one decode serves dims AND the re-normalize (the audit's cost
+        // is codec work; decodeDims + normalizePng would decode twice)
+        val (dw, dh, renorm) =
+          try {
+            val img = graft.image.ImageCodec.decode(bytes)
+            if (img == null) (-1L, -1L, "decode-failed")
+            else (img.getWidth.toLong, img.getHeight.toLong,
+              graft.util.Hashing.md5OfHex(graft.image.ImageCodec.encode(img, "png")))
+          } catch { case _: Throwable => (-1L, -1L, "decode-failed") }
+        (id, fmt, sig, dw, dh, renorm)
       }
       .toDF("image_id", "norm_fmt", "sig_hex", "dec_w", "dec_h", "renorm_md5")
   }
