@@ -24,11 +24,11 @@ object SparkEntry {
       graft.queries.Cue.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Engine-backed queries (q30-q35, q37) read
-    * the raw snapshot-table dumps Verify writes next to the results —
-    * their SQL carries a `{{DUMPS}}` placeholder that Verify substitutes
-    * with the absolute dump dir. Only q36 (image decode) stays
-    * rows-only. */
+    * the same parquet tables. Engine-backed queries (q30-q37, q44-q50)
+    * read the raw snapshot-table dumps Verify writes to a SIBLING dir
+    * of the result dir (outside the driver's parquet-globbed result
+    * namespace) — their SQL carries a `{{DUMPS}}` placeholder that
+    * Verify substitutes with the absolute dump dir. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Text.oracle ++

@@ -81,6 +81,12 @@ final class SeenShards(spark: SparkSession, table: SnapshotTable,
       else {
         val bytes = table.read().select("shard", "bytes")
           .as[(Int, Array[Byte])].collect().toMap
+        // free the superseded version's executor+driver copies NOW
+        // (ADVICE r4): a long drain otherwise accumulates one live
+        // broadcast per table version until the ContextCleaner gets to
+        // them. Safe: every job that used it was joined before the
+        // insert that bumped the version committed.
+        if (c != null && c._3 != null) c._3.destroy() // non-blocking
         snapCache = (id, bytes, null)
         bytes
       }

@@ -74,10 +74,15 @@ object Cue {
       |          -- >3 digits truncate ('.2507' = 250) — NOT a literal
       |          -- integer parse (ADVICE r3: the fixture always writes
       |          -- %03d, but the oracle must match the parser on every
-      |          -- reachable width)
-      |          + cast(substr(str_split(tc, '.')[2], 1, 3) as bigint)
-      |            * (CASE len(substr(str_split(tc, '.')[2], 1, 3))
-      |               WHEN 1 THEN 100 WHEN 2 THEN 10 ELSE 1 END)) AS tcs,
+      |          -- reachable width). The whole term coalesces to 0 when
+      |          -- the timecode has no '.' fraction at all (ADVICE r4:
+      |          -- the regex's dot-any admits e.g. '0:00:0123', which
+      |          -- the hardened parser reads as seconds + 0 ms; try_cast
+      |          -- absorbs the empty-fraction '0:00:05.' shape too)
+      |          + coalesce(
+      |              try_cast(substr(str_split(tc, '.')[2], 1, 3) as bigint)
+      |              * (CASE len(substr(str_split(tc, '.')[2], 1, 3))
+      |                 WHEN 1 THEN 100 WHEN 2 THEN 10 ELSE 1 END), 0)) AS tcs,
       |    list_filter(
       |      regexp_split_to_array(regexp_replace(lastrow, '<[^>]*>', '', 'g'),
       |                            '[${Text.WsClass}]+'),

@@ -325,7 +325,12 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
       val m = manifest(id)
       (m.id, m.parent.getOrElse(-1L), m.files.size.toLong,
         m.files.map(_.rows).sum, m.files.map(_.bytes).sum,
-        m.metrics.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.1f" }.mkString(","))
+        // explicit Locale.ROOT (ADVICE r4): the f interpolator uses the
+        // default locale — a comma-decimal locale would change this
+        // hashable cross-engine metrics string ("batch=1,0")
+        m.metrics.toSeq.sortBy(_._1).map { case (k, v) =>
+          String.format(java.util.Locale.ROOT, "%s=%.1f", k, Double.box(v))
+        }.mkString(","))
     }.toDF("snap_id", "parent_id", "n_files", "total_rows", "total_bytes", "metrics")
   }
 
@@ -389,8 +394,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
     val deltaSeq = if (kind == "delta") nextId else 0L
     val newFiles = writeData(df, nextId, kind, deltaSeq)
     val files = parent.map(_.files).getOrElse(Seq.empty) ++ newFiles
+    // layoutProps merged LAST (ADVICE r4): a caller-supplied prop
+    // colliding with a layout.* key must never shadow the persisted
+    // layout identity that validateLayout enforces
     val man = Manifest(nextId, parent.map(_.id), schemaDdl, files, metrics,
-      parent.map(_.props).getOrElse(Map.empty) ++ layoutProps ++ props)
+      parent.map(_.props).getOrElse(Map.empty) ++ props ++ layoutProps)
     publish(man)
     nextId
   }
