@@ -81,6 +81,12 @@ object Verify {
       graft.crawl.Flagship.pixelSampleDump(spark, sfDir)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$dumpsAbs/dump_media_pixels")
+      // q36 full-raster dump: EVERY decoded pixel as raw (r, g, b) —
+      // DuckDB recomputes the whole 16-bin histogram aggregation
+      // (~10^7 rows at sf0.01; multiple files, the oracle globs)
+      graft.crawl.Flagship.pixelFullDump(spark, sfDir)
+        .coalesce(4).write.mode("overwrite")
+        .parquet(s"$dumpsAbs/dump_media_pixels_full")
       // q50 lineage: the manifest JSONs + CURRENT pointer, copied
       // VERBATIM — DuckDB parses the storage format independently.
       // (No per-dir clearing needed: the whole dumps sibling was rmrf'd

@@ -52,19 +52,42 @@ object ImageOps {
     * the histogram loop and q49. */
   def binOf(y: Double): Int = math.min(15, (y / 16).toInt)
 
-  /** 16-bin normalized luma histogram — the feature-extract op. */
-  def lumaHist16(bytes: Array[Byte]): Option[Seq[Double]] =
+  /** 16-bin luma histogram as raw per-bin COUNTS — THE aggregation the
+    * feature extractor runs (exact integers, so the q36 oracle can
+    * recompute it bit-for-bit from the full-raster pixel dump). */
+  def lumaHistCounts(bytes: Array[Byte]): Option[Array[Long]] =
     try {
       val img = ImageCodec.decode(bytes)
       if (img == null) return None
       val px = ImageCodec.pixels(img)
-      val bins = new Array[Double](16)
+      val bins = new Array[Long](16)
       px.foreach { p =>
         val y = lumaOf((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
         bins(binOf(y)) += 1
       }
-      Some(bins.map(_ / px.length).toSeq)
+      Some(bins)
     } catch { case _: Throwable => None }
+
+  /** 16-bin normalized luma histogram — the feature-extract op
+    * (normalization of `lumaHistCounts`, one shared binning loop). */
+  def lumaHist16(bytes: Array[Byte]): Option[Seq[Double]] =
+    lumaHistCounts(bytes).map { bins =>
+      val n = bins.sum.toDouble
+      bins.map(_ / n).toSeq
+    }
+
+  /** The FULL decoded raster as (r, g, b) rows — the q36 oracle's
+    * evidence dump: DuckDB recomputes the per-image luma binning and
+    * 16-bin aggregation from these and must match `lumaHistCounts`.
+    * Row order is irrelevant (the histogram is a bag aggregation);
+    * undecodable payloads dump empty, mirroring the -1 feature row. */
+  def rasterRgb(bytes: Array[Byte]): Seq[(Int, Int, Int)] =
+    try {
+      val img = ImageCodec.decode(bytes)
+      if (img == null) return Seq.empty
+      ImageCodec.pixels(img).toSeq
+        .map(p => ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff))
+    } catch { case _: Throwable => Seq.empty }
 
   /** Deterministic n-point sample of the decoded raster (row-major
     * positions i·(npx-1)/(n-1)): (px_idx, r, g, b) rows. Feeds both the

@@ -14,8 +14,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * logic, not just row counts.
   *
   * `{{DUMPS}}` is substituted by Verify with the absolute dump dir.
-  * q36 (media feature extraction) keeps the rows-only check: its
-  * decode/histogram path is image work DuckDB cannot re-derive.
+  * q36 (media feature extraction) is value-gated against a full-raster
+  * pixel dump: DuckDB recomputes the per-image luma binning AND the
+  * 16-bin histogram aggregation from the raw (r, g, b) rows.
   */
 object Engine {
   import graft.crawl.Flagship
@@ -142,7 +143,7 @@ object Engine {
        |  cast(sum(cast(subs_quality AS decimal(28,9))) AS double)
        |    / cast(count(*) AS double) FROM p""".stripMargin
 
-  /** q44 (the q36 partial oracle): every value is predictable from the
+  /** q44 (decode invariants): every value is predictable from the
     * payload dump's independently-stored metadata — decoded dims and
     * the decoded pixel-raster size must equal the stored (w, h) / w·h,
     * the 8×8 resize must re-decode to 8×8, the 3-frame stub to
@@ -171,7 +172,39 @@ object Engine {
        |  md5(hex(bytes)) AS renorm_md5
        |FROM p""".stripMargin
 
-  /** q49 luma binning (closing q36's last un-oracled computation): the
+  /** q36 — the media-features oracle (closing the last rows-only gap):
+    * per image, DuckDB independently recomputes the BT.601 luma + bin
+    * of EVERY decoded pixel from the full-raster dump and re-aggregates
+    * the 16-bin histogram (exact counts) plus px_total; dims/fmt come
+    * from the payload's independently stored metadata. The inner join
+    * means a Spark-side decode failure (-1 row, empty raster) surfaces
+    * as a row-count mismatch, never a value coincidence. Literal 0.299
+    * etc. are cast to double explicitly — DuckDB parses bare decimals
+    * as DECIMAL, whose arithmetic rounds differently at bin edges. */
+  val q36Sql: String = {
+    val binCols = (0 until 16)
+      .map(i => f"  count(*) FILTER (WHERE bin = $i) AS h$i%02d")
+      .mkString(",\n|")
+    s"""WITH p AS (${resolved("dump_payload_raw", "image_id")}),
+       |px AS (
+       |  SELECT image_id,
+       |    least(15, cast(floor(
+       |      (cast(0.299 AS double) * r + cast(0.587 AS double) * g
+       |        + cast(0.114 AS double) * b) / 16) AS bigint)) AS bin
+       |  FROM read_parquet('{{DUMPS}}/dump_media_pixels_full/*.parquet')),
+       |h AS (
+       |  SELECT image_id, count(*) AS px_total,
+       |$binCols
+       |  FROM px GROUP BY image_id)
+       |SELECT p.image_id, p.fmt,
+       |  cast(p.w AS bigint) AS dec_w, cast(p.h AS bigint) AS dec_h,
+       |  h.px_total,
+       |  h00, h01, h02, h03, h04, h05, h06, h07,
+       |  h08, h09, h10, h11, h12, h13, h14, h15
+       |FROM p JOIN h ON p.image_id = h.image_id""".stripMargin
+  }
+
+  /** q49 luma binning (q36's per-pixel twin on a 16-px sample): the
     * Spark side bins 16 sampled decoded pixels per image through the
     * SHIPPED ImageOps.lumaOf/binOf path; DuckDB recomputes the BT.601
     * luma and min(15, floor(y/16)) from the dumped raw (r, g, b) —
@@ -220,6 +253,7 @@ object Engine {
     "q33_frontier_depth" -> q33Sql,
     "q34_export_split"   -> q34Sql,
     "q35_phash_neardup"  -> q35Sql,
+    "q36_media_features" -> q36Sql,
     "q37_global_stats"   -> q37Sql,
     "q44_media_invariants" -> q44Sql,
     "q46_time_travel"    -> q46Sql,
