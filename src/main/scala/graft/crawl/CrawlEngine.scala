@@ -31,7 +31,8 @@ final case class CrawlConfig(
                                // drains degenerate into 2-item batches
     nShards: Int = 16,
     shardBuckets: Int = 1 << 14, // 16k buckets × 4 slots ≈ 55k fps/shard
-    targetPerTask: Int = 64,   // skew-salt threshold
+    targetPerTask: Int = 64,   // skew-salt threshold (Frontier.salted
+                               // consumers; the fetch map round-robins)
     compactEvery: Int = 4,
     seenMode: String = "auto",  // seen-set path: broadcast | join | auto
     claimMode: String = "window", // window | bucketed (host-bucketed files,
@@ -42,9 +43,9 @@ final case class CrawlConfig(
 
 /** The iterative micro-batch crawl driver (C2, parse_youtube.py:20-54
   * recast): claim → fetch/process → commit, until the frontier drains.
-  * Exactly 2 data shuffles per iteration (claim window + salted
-  * repartition); everything else is broadcast or map-side
-  * (SURVEY.md §4.2). All state lives in SnapshotTables — resumable from
+  * Exactly 2 data shuffles per iteration (claim window + the
+  * round-robin process repartition); everything else is broadcast or
+  * map-side (SURVEY.md §4.2). All state lives in SnapshotTables — resumable from
   * any committed snapshot (C6).
   *
   * Action budget per batch (driver-loop latency is the sandbox
@@ -406,14 +407,18 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       .exists(_.files.iterator.map(_.bytes).sum > CrawlEngine.BigKeyTableBytes)
     val fresh = Frontier.dedupGate(probed, keys,
       broadcastCandidates = boundedCandidates && bigKeyTable).cache()
-    val n = phase("enqueue-gate")(fresh.count())
+    // ONE action materializes the gate AND reads the survivors' stats:
+    // count (the n>0 decision + metrics) and max seq (parity: the
+    // oracle assigns the next batch's seq base from surviving rows
+    // only) ride the same aggregate — the old shape paid a second
+    // driver-job round trip per batch for the max
+    val stats = phase("enqueue-gate")(
+      fresh.agg(count(lit(1)), max("seq")).head)
+    val n = stats.getLong(0)
     probed.unpersist()
     if (n > 0) {
-      // maxSeq prop: survivors' max (parity: the oracle assigns the next
-      // batch's seq base from surviving rows only) — `fresh` is cached,
-      // so this is a cheap second action, not a table scan
-      val mx = fresh.agg(max("seq")).head
-      val newMax = math.max(currentMaxSeq, if (mx.isNullAt(0)) -1L else mx.getLong(0))
+      val newMax = math.max(currentMaxSeq,
+        if (stats.isNullAt(1)) -1L else stats.getLong(1))
       phase("seen-commit")(
         seen.insert(fresh.select("fp"), Map("batch" -> batchNo.toDouble), shardSnapshot))
       // coalesce(1): a few-thousand-row append across 32 shuffle
@@ -543,10 +548,23 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
           Map("batch" -> batchNo.toDouble, "claimed" -> nClaimed.toDouble)))
       })
 
-      // fetch + per-url pipeline, skew-salted (2nd shuffle of the batch)
+      // fetch + per-url pipeline (2nd shuffle of the batch): ROUND-ROBIN
+      // repartition at 8 tasks/core. The claim's host-grouped layout is
+      // exactly wrong for the compute stage — per-url cost varies ~16×
+      // (32px..128px images), so cores-sized hash partitions straggle
+      // (the r4 drain-scaling decomposition measured the process phase
+      // at 0.5 efficiency 4→16 while the same map with small balanced
+      // tasks scales at the machine control's 0.86); round-robin gives
+      // equal-count tasks and small tasks let the scheduler absorb the
+      // variance — the same lesson a 100 TB fetch wave applies. Row
+      // placement has zero semantic weight here: politeness was
+      // enforced at claim, and committed order sorts by (batch,
+      // priority, seq). (Hot-host salting — Frontier.salted — remains
+      // the tool for operators that MUST group by host; the fetch map
+      // needs no grouping at all.)
       val seed = cfg.seed; val universe = cfg.universe; val nHosts = cfg.nHosts
-      processed = Frontier.salted(claimed, cfg.targetPerTask)
-        .repartition(col("host"), col("salt"))
+      processed = claimed
+        .repartition(spark.sparkContext.defaultParallelism * 8)
         .select("fp", "url", "host", "priority", "seq", "discoveredAt")
         .as[(Long, String, String, Int, Long, Long)]
         .map { case (fp, url, host, priority, seq, disc) =>
@@ -577,7 +595,15 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // and the pure fetch/process map — never through a re-claim
       // against moved-on frontier state.
 
-      val nOk = phase("process")(processed.filter(_.ok).count())
+      // column predicate, NOT a typed filter: `filter(_.ok)` would
+      // deserialize every cached ProcessedUrl — bytes array + pieces —
+      // just to read one boolean; the column form scans the cache's
+      // `ok` column only. (The same rule drives every consumer below:
+      // the ~0.5 GB/batch cache is read column-pruned everywhere except
+      // the payload write, the one consumer that truly needs the bytes.
+      // The typed-deser versions measurably capped drain scaling: three
+      // full-object passes per batch of pure allocation churn.)
+      val nOk = phase("process")(processed.filter(col("ok")).count())
       // the processing checkpoint must be durable before any downstream
       // commit; its failure aborts the batch here
       procFuture.get(); procJoined = true
@@ -617,14 +643,17 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
         if (nOk == 0) null
         else commitPool.submit(new Runnable {
           override def run(): Unit = phase("payload-commit") {
-            val rows = processed.filter(_.ok)
-              .map(p => PayloadRow(p.image_id, p.bytes, p.w, p.h, p.fmt,
-                p.src_fmt, p.caption, p.phash,
-                bytes_md5 = graft.util.Hashing.md5OfHex(p.bytes),
-                p.pieces, p.speech_duration_sec,
-                p.subs_quality, p.utilization_rate, p.good_pieces,
-                p.total_pieces))
-              .toDF()
+            // pure column projection in PayloadRow field order — no
+            // object deserialization; md5(hex(bytes)) is the builtin
+            // twin of Hashing.md5OfHex (uppercase hex, lowercase
+            // digest — CodecHashSpec pins the equality)
+            val rows = processed.filter(col("ok"))
+              .select(col("image_id"), col("bytes"), col("w"), col("h"),
+                col("fmt"), col("src_fmt"), col("caption"), col("phash"),
+                md5(hex(col("bytes"))).as("bytes_md5"),
+                col("pieces"), col("speech_duration_sec"),
+                col("subs_quality"), col("utilization_rate"),
+                col("good_pieces"), col("total_pieces"))
               .coalesce(8)
             if (hasReplay)
               payload.commitUpsert(rows, Map("batch" -> batchNo.toDouble))
@@ -636,9 +665,12 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // discovered links → next frontier rows (seed-expansion S4):
       // first-occurrence order inside the batch is (parent seq, idx)
       val maxSeq = phase("maxseq")(currentMaxSeq) // prop read, zero jobs
-      val discovered = processed.flatMap(p =>
-        p.outlinks.zipWithIndex.map { case (u, i) => (u, p.seq, i) })
-        .toDF("url", "parentSeq", "idx")
+      // posexplode == outlinks.zipWithIndex (pos = index), reading only
+      // (seq, outlinks) from the cache; failed rows carry empty arrays
+      // and explode to nothing, exactly like the old typed flatMap
+      val discovered = processed
+        .select(col("seq").as("parentSeq"), posexplode(col("outlinks")))
+        .select(col("col").as("url"), col("parentSeq"), col("pos").as("idx"))
       // seq by global (parentSeq, idx) order via partition-offset rank —
       // same output as the old single-partition window, but parallel
       // (and the same code path a 100 TB discovery wave would take)
@@ -670,10 +702,17 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       val processedLocal = processed
       val tail = runnable {
         try {
+          // FrontierEntry as a column projection: the old typed map +
+          // coalesce(1) pulled the WHOLE wide cache (bytes included)
+          // through one task's deserializer; this reads 8 narrow
+          // columns from the columnar cache
           phase("terminal-commit")(frontier.commitUpsert(
-            processedLocal.map(p => FrontierEntry(p.fp, p.url, p.host, p.priority, p.seq,
-              if (p.ok) FrontierState.Processed else FrontierState.Failed,
-              p.error, p.discoveredAt, processedAt = batchNo)).toDF().coalesce(1),
+            processedLocal.select(col("fp"), col("url"), col("host"),
+              col("priority"), col("seq"),
+              when(col("ok"), lit(FrontierState.Processed))
+                .otherwise(lit(FrontierState.Failed)).as("state"),
+              col("error"), col("discoveredAt"),
+              lit(batchNo).as("processedAt")).coalesce(1),
             Map("batch" -> batchNo.toDouble, "ok" -> nOk.toDouble,
               "failed" -> (nClaimed - nOk).toDouble)))
           phase("hygiene") {

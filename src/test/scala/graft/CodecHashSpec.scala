@@ -84,6 +84,22 @@ class CodecHashSpec extends AnyFunSuite {
     assert(ImageCodec.hamming(ha, ImageCodec.phash64(64, 64, b)) > 0)
   }
 
+  test("builtin md5(hex(bytes)) column matches Hashing.md5OfHex") {
+    // the payload commit stores bytes_md5 via the codegen'd builtin
+    // chain; the JVM twin is what the parity oracle and q31's audit
+    // story assume — they must stay bit-identical (uppercase hex in,
+    // lowercase digest out)
+    import org.apache.spark.sql.functions.{col, hex, md5}
+    import spark.implicits._
+    val payloads = Seq(
+      Array[Byte](), Array[Byte](0, 1, 2, -1, 127, -128),
+      Synth.fetch("http://host1.example.com/v/md5pin").bytes)
+    val fromCol = payloads.toDF("b").select(md5(hex(col("b")))).as[String].collect()
+    payloads.zip(fromCol).foreach { case (b, c) =>
+      assert(c === Hashing.md5OfHex(b))
+    }
+  }
+
   test("synthetic fetch is a pure function (same url → same bytes)") {
     val u = "http://host3.example.com/v/stable"
     val p1 = Synth.fetch(u); val p2 = Synth.fetch(u)
