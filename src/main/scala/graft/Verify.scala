@@ -116,6 +116,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{DUMPS}}", dumpsAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // engine scratch (possibly tmpfs) is no longer needed once the
+    // dumps are written — never leave RAM-backed state behind
+    graft.crawl.Flagship.cleanup()
     spark.stop()
   }
 }
