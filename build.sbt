@@ -30,7 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 32g: the drain's per-batch processed cache is ~64 KB/url — the
+  // bench's design-scale batches (131k urls/politeness window) hold
+  // ~8 GB in the storage pool, which a 16g heap would spill
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // image pipeline allocates ~1 MB/url churn at 15k urls/s across 32
   // threads; throughput GC with a roomy young gen keeps it off the
   // critical path

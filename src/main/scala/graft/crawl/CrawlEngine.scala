@@ -75,6 +75,18 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
 
   import spark.implicits._
 
+  // File listing for snapshot reads must never become a Spark JOB: the
+  // engine reads parquet via EXPLICIT per-file path lists from its own
+  // manifest, but InMemoryFileIndex launches a distributed listing job
+  // once the path count crosses this threshold (default 32) — one
+  // extra job round trip per claim/readKeys per batch as commits
+  // accumulate files. The manifest already knows every file; driver-
+  // side stat of a bounded list is microseconds. (At design scale the
+  // same reasoning ends in a manifest-backed FileIndex so the listing
+  // is skipped entirely; raising the threshold is the sandbox-faithful
+  // version.)
+  spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
+
   /** Per-ENGINE commit lane (single thread): the processing/payload/
     * terminal commits and table hygiene ride it, overlapped with
     * compute that only reads checkpointed data. Instance-scoped so
@@ -390,8 +402,8 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     // broadcast path: ONE collect per batch shared by probe+insert;
     // join path (design scale): no collect at all — probe/insert
     // co-partition with the shard table instead
-    val shardSnapshot =
-      if (seen.useJoinPath) None else Some(seen.snapshotBytes())
+    val shardSnapshot = phase("enqueue-probe")(
+      if (seen.useJoinPath) None else Some(seen.snapshotBytes()))
     val firstOcc = Frontier.firstOccurrence(entries)
     // cache: dedupGate consumes `probed` through two filter branches
     // (definitely-new ∪ verify), which would otherwise evaluate the
@@ -442,7 +454,8 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     val sec = (System.nanoTime() - t0) / 1e9
     phaseSums.computeIfAbsent(name, _ => new java.util.concurrent.atomic.DoubleAdder())
       .add(sec)
-    if (timing) System.err.println(f"[batch-timing] $name $sec%.2fs")
+    if (timing) System.err.println(
+      f"[batch-timing] t=${System.nanoTime() / 1e9}%.2f $name $sec%.2fs")
     r
   }
 
@@ -531,8 +544,19 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
           cfg.batchSize, cfg.batchMs)
       else Frontier.claimBySynthPolicy(pending, cfg.seed,
         cfg.batchSize, cfg.batchMs)).localCheckpoint(false)
-      val nClaimed = phase("claim")(claimed.count())
-      quiesce() // join the previous deferred tail before any write of our own
+      // ONE action materializes the checkpoint AND reads both facts the
+      // driver needs from it: the row count and the replay marker
+      // (min priority) — the separate min-agg job was a per-batch fixed
+      // cost
+      val claimStats = phase("claim")(
+        claimed.agg(count(lit(1)), min("priority")).head)
+      val nClaimed = claimStats.getLong(0)
+      val hasReplay = !claimStats.isNullAt(1) &&
+        claimStats.getInt(1) == FrontierState.RecoveryPriority
+      // join the previous deferred tail before any write of our own;
+      // timed: nonzero tail-wait means the commit lane overflowed the
+      // claim+process window (lane saturation, the drain's scaling cap)
+      phase("tail-wait")(quiesce())
       if (nClaimed == 0) return 0L
 
       // checkpoint: claimed rows become `processing` — crash after this
@@ -606,7 +630,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       val nOk = phase("process")(processed.filter(col("ok")).count())
       // the processing checkpoint must be durable before any downstream
       // commit; its failure aborts the batch here
-      procFuture.get(); procJoined = true
+      phase("proc-wait")(procFuture.get()); procJoined = true
 
       // COMMIT ORDER = crash safety (C6): payload and discovered links
       // land BEFORE the terminal state flip. A crash anywhere before
@@ -635,10 +659,18 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // is append-only in steady state (periodic full rewrites of the
       // corpus table were the r3 100k-drain's growth term). Only a
       // post-crash batch pays the delta/merge machinery.
-      val hasReplay = {
-        val m = claimed.agg(min("priority")).head
-        !m.isNullAt(0) && m.getInt(0) == FrontierState.RecoveryPriority
-      }
+      // (replay marker read with the claim stats above)
+      // writer count sized by BATCH VOLUME, not a constant: payload rows
+      // average ~64 KB of normalized PNG, so ~2k rows/writer targets
+      // ~128 MB files — at 8k-url batches that is 4 writers (same file
+      // sizes as the old coalesce(8)), at the 32k compute-bound batches
+      // it is ~14, so the one write phase that moves real bytes gains
+      // parallelism with the data instead of serializing behind a fixed
+      // task count (the r4 drain-scaling decomposition showed
+      // payload-commit flat across core counts — a fixed 8-way write is
+      // a serial term at 4× the executors, exactly the shape that caps
+      // a 1000-executor wave)
+      val payloadWriters = math.max(1L, math.min(64L, nOk / 2048L)).toInt
       payloadFuture =
         if (nOk == 0) null
         else commitPool.submit(new Runnable {
@@ -654,7 +686,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
                 col("pieces"), col("speech_duration_sec"),
                 col("subs_quality"), col("utilization_rate"),
                 col("good_pieces"), col("total_pieces"))
-              .coalesce(8)
+              .coalesce(payloadWriters)
             if (hasReplay)
               payload.commitUpsert(rows, Map("batch" -> batchNo.toDouble))
             else
@@ -665,28 +697,54 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // discovered links → next frontier rows (seed-expansion S4):
       // first-occurrence order inside the batch is (parent seq, idx)
       val maxSeq = phase("maxseq")(currentMaxSeq) // prop read, zero jobs
+      // Dense discovery seqs by (parentSeq, idx) order WITHOUT ever
+      // materializing the exploded url set: the rank of child (parent,
+      // idx) is offset(parent) + idx + 1 where offset = exclusive
+      // prefix sum of outlink counts in parent-seq order — computed on
+      // the PER-PARENT table (one narrow row per claimed url, read
+      // column-pruned from the cache; Rank.withPrefixOffsets). The
+      // offsets then broadcast-join into the explode, which now fuses
+      // straight into the dedup gate's pass. The previous shape sorted
+      // + checkpointed the full exploded set (urls included) with a
+      // range-sampling pass — ~3 s/batch of eager per-batch work at
+      // 131k-url batches, and the per-batch term that grows with
+      // fan-out at a 100 TB discovery wave. Identical output: idx is
+      // dense per parent, so offset(parent)+idx+1 IS the dense rank of
+      // the (parentSeq, idx) sort (CrawlParitySpec byte-match covers).
+      val perParent = processed
+        .select(col("seq").as("parentSeq"), size(col("outlinks")).as("__n"))
+        .filter(col("__n") > 0)
+      val (parentOffsets, _) = phase("discover-rank")(
+        graft.util.Rank.withPrefixOffsets(
+          perParent, Seq(col("parentSeq")), col("__n"), "__off",
+          numParts = spark.sparkContext.defaultParallelism))
       // posexplode == outlinks.zipWithIndex (pos = index), reading only
       // (seq, outlinks) from the cache; failed rows carry empty arrays
       // and explode to nothing, exactly like the old typed flatMap
       val discovered = processed
         .select(col("seq").as("parentSeq"), posexplode(col("outlinks")))
         .select(col("col").as("url"), col("parentSeq"), col("pos").as("idx"))
-      // seq by global (parentSeq, idx) order via partition-offset rank —
-      // same output as the old single-partition window, but parallel
-      // (and the same code path a 100 TB discovery wave would take)
-      val (rankedDisc, _) = graft.util.Rank.withGlobalRank(
-        discovered, Seq(col("parentSeq"), col("idx")), "__rn", numParts = 8)
-      val discoveredSeeds = rankedDisc
-        .withColumn("seq", lit(maxSeq) + col("__rn"))
+      // broadcast: one narrow row per claimed url (~16 B each — MBs at
+      // a 10^6-url batch), vs shuffling the exploded children
+      val discoveredSeeds = discovered
+        .join(broadcast(parentOffsets.select("parentSeq", "__off")), "parentSeq")
+        .withColumn("seq", lit(maxSeq) + col("__off") + col("idx") + lit(1L))
         .withColumn("priority", lit(Frontier.NormalPriority))
         .select("url", "priority", "seq").as[SeedUrl]
-      phase("enqueue")(enqueue(Frontier.toEntries(spark, discoveredSeeds, batchNo, cfg.seed),
-        batchNo, boundedCandidates = true))
+      // no outer phase wrapper: enqueue's real work is accounted by its
+      // own exclusive phases (enqueue-probe / enqueue-gate / seen-commit
+      // / append-commit) so the decomposition stays ADDITIVE — the r4
+      // artifact's nested "enqueue" total was double-counted against its
+      // parts by every reader
+      enqueue(Frontier.toEntries(spark, discoveredSeeds, batchNo, cfg.seed),
+        batchNo, boundedCandidates = true)
 
       // join the concurrent payload commit BEFORE the terminal flip
       // (exceptions surface here, so a failed payload write still
       // leaves rows in `processing` for resume())
-      if (payloadFuture != null) { payloadFuture.get(); payloadJoined = true }
+      if (payloadFuture != null) {
+        phase("payload-wait")(payloadFuture.get()); payloadJoined = true
+      }
 
       // the batch TAIL: terminal frontier states (processedAt doubles as
       // the crawl log), then table hygiene — the manifest check is free;
