@@ -34,6 +34,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bench's design-scale batches (131k urls/politeness window) hold
   // ~8 GB in the storage pool, which a 16g heap would spill
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // pre-size the heap: lazy heap growth under the first multi-GB cache
+  // build showed up as a one-time ~12 s stall at 16 threads (DiagScale:
+  // fresh-JVM cache pass 30.2 s vs 16.8 s warmed) — ergonomic
+  // re-sizing mid-benchmark is measurement noise, not engine behavior
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // image pipeline allocates ~1 MB/url churn at 15k urls/s across 32
   // threads; throughput GC with a roomy young gen keeps it off the
   // critical path

@@ -117,7 +117,16 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     // hence bucket — never changes, so resolution stays bucket-closed
     bucketBy = if (cfg.claimMode == "bucketed") Some(("host", cfg.claimBuckets))
                else None)
-  val payload  = new SnapshotTable(spark, s"$workDir/payload", "image_id")
+  // uncompressed parquet for the payload table: the `bytes` column is
+  // canonical PNG — already deflate-compressed — so the default snappy
+  // pass re-scans every byte per write/compact for ~0% size change; at
+  // ~5 GB per design-scale batch that pass is pure waste on the one
+  // commit that moves real data volume
+  // ... and no dictionary pages: every blob is unique, so the writer
+  // would hash-build a dictionary per column chunk only to abandon it
+  val payload  = new SnapshotTable(spark, s"$workDir/payload", "image_id",
+    writeOptions = Map("compression" -> "uncompressed",
+                       "parquet.enable.dictionary" -> "false"))
   val seenTbl  = new SnapshotTable(spark, s"$workDir/seen", "shard")
   /** The keyword-search queue — the reference's SECOND persistent queue
     * (kwds_to_search / kwds_searched, utils/queue_utils.py:42-57),
@@ -702,22 +711,37 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       // idx) is offset(parent) + idx + 1 where offset = exclusive
       // prefix sum of outlink counts in parent-seq order — computed on
       // the PER-PARENT table (one narrow row per claimed url, read
-      // column-pruned from the cache; Rank.withPrefixOffsets). The
-      // offsets then broadcast-join into the explode, which now fuses
-      // straight into the dedup gate's pass. The previous shape sorted
-      // + checkpointed the full exploded set (urls included) with a
-      // range-sampling pass — ~3 s/batch of eager per-batch work at
-      // 131k-url batches, and the per-batch term that grows with
-      // fan-out at a 100 TB discovery wave. Identical output: idx is
-      // dense per parent, so offset(parent)+idx+1 IS the dense rank of
-      // the (parentSeq, idx) sort (CrawlParitySpec byte-match covers).
+      // column-pruned from the cache). The offsets then broadcast-join
+      // into the explode, which fuses straight into the dedup gate's
+      // pass. The previous shape sorted + checkpointed the full
+      // exploded set (urls included) with a range-sampling pass —
+      // ~3 s/batch of eager per-batch work at 131k-url batches, and
+      // the per-batch term that grows with fan-out at a 100 TB
+      // discovery wave. Identical output: idx is dense per parent, so
+      // offset(parent)+idx+1 IS the dense rank of the (parentSeq, idx)
+      // sort (CrawlParitySpec byte-match covers).
       val perParent = processed
         .select(col("seq").as("parentSeq"), size(col("outlinks")).as("__n"))
         .filter(col("__n") > 0)
-      val (parentOffsets, _) = phase("discover-rank")(
-        graft.util.Rank.withPrefixOffsets(
+      // ONE job for the offsets when the claim is batch-bounded: the
+      // per-parent pairs are ≤ nClaimed rows of 16 B (2 MB at a 131k
+      // batch), so the exclusive prefix is a driver fold — the same
+      // bounded-collect contract SeenShards' broadcast path uses. The
+      // distributed prefix (repartitionByRange + checkpoint + window;
+      // three small jobs whose fixed latency is the cost that matters
+      // at sandbox batch sizes) remains the path for claim waves past
+      // DriverRankMaxRows.
+      val parentOffsets = phase("discover-rank")(
+        if (nClaimed <= CrawlEngine.DriverRankMaxRows) {
+          val counts = perParent.as[(Long, Int)].collect().sortBy(_._1)
+          var acc = 0L
+          val offs = counts.map { case (ps, nn) =>
+            val o = acc; acc += nn; (ps, o)
+          }
+          spark.createDataset(offs.toIndexedSeq).toDF("parentSeq", "__off")
+        } else graft.util.Rank.withPrefixOffsets(
           perParent, Seq(col("parentSeq")), col("__n"), "__off",
-          numParts = spark.sparkContext.defaultParallelism))
+          numParts = spark.sparkContext.defaultParallelism)._1)
       // posexplode == outlinks.zipWithIndex (pos = index), reading only
       // (seq, outlinks) from the cache; failed rows carry empty arrays
       // and explode to nothing, exactly like the old typed flatMap
@@ -912,4 +936,11 @@ object CrawlEngine {
     * below it the local plan is already optimal, above it the shuffle
     * of the key table would dominate the batch). */
   val BigKeyTableBytes: Long = 64L << 20
+  /** Claim sizes up to this take the ONE-JOB driver-fold discovery-rank
+    * path (≤16 MB of (seq, count) pairs collected — the same bounded-
+    * collect contract as SeenShards' broadcast path); larger claim
+    * waves fall back to the distributed prefix-sum (Rank
+    * .withPrefixOffsets), whose three small jobs amortize at that
+    * scale. */
+  val DriverRankMaxRows: Long = 1L << 20
 }

@@ -69,7 +69,8 @@ import scala.jdk.CollectionConverters._
 final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
                           tagCol: Option[String] = None,
                           frozenTags: Set[String] = Set.empty,
-                          bucketBy: Option[(String, Int)] = None) {
+                          bucketBy: Option[(String, Int)] = None,
+                          writeOptions: Map[String, String] = Map.empty) {
 
   import SnapshotTable._
 
@@ -461,8 +462,9 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
       // handful of tags present bounds their file count already.
       if (bucketBy.isDefined)
         out = out.repartition(partCols.map(col): _*)
-      if (partCols.isEmpty) out.write.mode("overwrite").parquet(tmp.toString)
-      else out.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
+      val writer = out.write.mode("overwrite").options(writeOptions)
+      if (partCols.isEmpty) writer.parquet(tmp.toString)
+      else writer.partitionBy(partCols: _*).parquet(tmp.toString)
       val parts: Seq[(String, Int, Path)] =
         Files.walk(tmp).iterator().asScala
           .filter(p => Files.isRegularFile(p) &&
