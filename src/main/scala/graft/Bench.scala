@@ -305,8 +305,16 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_DRAIN_SCALE_SEEDS", "262144").toInt
     val drainScaleBatch =
       sys.env.getOrElse("SPARK_GRAFT_DRAIN_SCALE_BATCH", "131072").toInt
+    // 4 h planning window: at 131k-url batches over a 100-host synthetic
+    // universe the 1 h window politeness-starves the SECOND batch to
+    // ~20k urls (the hottest zipf host hits its cap) — a half-fixed-cost
+    // batch that measures batch sizing, not scaling. The caps are still
+    // computed and enforced; at this window they simply don't bind, so
+    // both batches run at full load — the design-scale claim-wave shape
+    // the north-rule question is about. The headline/large drains keep
+    // the binding 10-minute window (politeness behavior is their story).
     val drainScaleBatchMs =
-      sys.env.getOrElse("SPARK_GRAFT_DRAIN_SCALE_BATCH_MS", "3600000").toLong
+      sys.env.getOrElse("SPARK_GRAFT_DRAIN_SCALE_BATCH_MS", "14400000").toLong
     val drainScaleReps = sys.env.getOrElse("SPARK_GRAFT_DRAIN_SCALE_REPS", "3").toInt
     // ... and capped at the FULL-LOAD batches (ceil(seeds/batch)): a
     // zipf-skewed seed list ends in a politeness-starved dribble — the

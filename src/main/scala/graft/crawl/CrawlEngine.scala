@@ -33,7 +33,12 @@ final case class CrawlConfig(
     shardBuckets: Int = 1 << 14, // 16k buckets × 4 slots ≈ 55k fps/shard
     targetPerTask: Int = 64,   // skew-salt threshold (Frontier.salted
                                // consumers; the fetch map round-robins)
-    compactEvery: Int = 4,
+    compactEvery: Int = 12, // frontier delta COMMITS between compactions:
+                            // with the claim's anti-join fast path, extra
+                            // deltas only widen the bounded shadow-key
+                            // broadcast, no longer a resolution window —
+                            // so the O(active set) rewrite runs half as
+                            // often as the old window-path cadence (6)
     seenMode: String = "auto",  // seen-set path: broadcast | join | auto
     claimMode: String = "window", // window | bucketed (host-bucketed files,
                                   // exchange-free claim — the multi-executor
@@ -43,9 +48,12 @@ final case class CrawlConfig(
 
 /** The iterative micro-batch crawl driver (C2, parse_youtube.py:20-54
   * recast): claim → fetch/process → commit, until the frontier drains.
-  * Exactly 2 data shuffles per iteration (claim window + the
-  * round-robin process repartition); everything else is broadcast or
-  * map-side (SURVEY.md §4.2). All state lives in SnapshotTables — resumable from
+  * Exactly 2 data shuffles per iteration (the claim's politeness rank +
+  * the round-robin process repartition); everything else is broadcast
+  * or map-side (SURVEY.md §4.2) — the claim's merge-on-read resolution
+  * runs as a broadcast anti-join against the bounded since-compaction
+  * delta keys (SnapshotTable.readStates fast path), and the dedup
+  * gate's candidate side reuses the first-occurrence agg partitioning. All state lives in SnapshotTables — resumable from
   * any committed snapshot (C6).
   *
   * Action budget per batch (driver-loop latency is the sandbox
@@ -116,7 +124,11 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     // so the claim is bucket-local (no exchange at all); a key's host —
     // hence bucket — never changes, so resolution stays bucket-closed
     bucketBy = if (cfg.claimMode == "bucketed") Some(("host", cfg.claimBuckets))
-               else None)
+               else None,
+    // the claim's pending-base scan is cache-resident between
+    // append/compaction events (readStates fast path) — per-batch claims
+    // read columnar memory, not parquet
+    cacheStateScans = true)
   // uncompressed parquet for the payload table: the `bytes` column is
   // canonical PNG — already deflate-compressed — so the default snappy
   // pass re-scans every byte per write/compact for ~0% size change; at
@@ -414,20 +426,27 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     val shardSnapshot = phase("enqueue-probe")(
       if (seen.useJoinPath) None else Some(seen.snapshotBytes()))
     val firstOcc = Frontier.firstOccurrence(entries)
-    // cache: dedupGate consumes `probed` through two filter branches
-    // (definitely-new ∪ verify), which would otherwise evaluate the
-    // probe lineage twice — on the join path that means re-running the
-    // candidate shuffle + shard cogroup per branch
-    val probed = seen.probe(firstOcc, shardSnapshot).cache()
     // all keys live in base files (appends introduce every key; deltas
-    // only revise them) — a raw single-column scan, no merge resolution
-    val keys =
-      if (frontier.currentId.isEmpty) spark.emptyDataset[Long].toDF("fp")
-      else frontier.readKeys()
+    // only revise them) — a raw single-column scan, no merge resolution.
+    // CACHE-RESIDENT between base-set changes: the gate verifies against
+    // this set every batch, but the base-file set only changes on an
+    // append or a compaction — at steady state (saturated discovery)
+    // that is once per compaction cycle, so the per-batch key scan
+    // becomes an in-memory columnar read instead of re-decoding every
+    // base file. The same structure at design scale is the cluster-
+    // resident verify set a 1000-executor crawl keeps pinned (8 B/key).
+    val keys = cachedKeys()
     val bigKeyTable = frontier.currentManifest
       .exists(_.files.iterator.map(_.bytes).sum > CrawlEngine.BigKeyTableBytes)
+    val useBcastGate = boundedCandidates && bigKeyTable
+    // cache only on the broadcast-gate path, where dedupGate consumes
+    // the probed candidates twice (hit-set build + final join); the
+    // default plan is linear and reads them exactly once — a cache there
+    // is a pure extra materialization per batch
+    val probed0 = seen.probe(firstOcc, shardSnapshot)
+    val probed = if (useBcastGate) probed0.cache() else probed0
     val fresh = Frontier.dedupGate(probed, keys,
-      broadcastCandidates = boundedCandidates && bigKeyTable).cache()
+      broadcastCandidates = useBcastGate).cache()
     // ONE action materializes the gate AND reads the survivors' stats:
     // count (the n>0 decision + metrics) and max seq (parity: the
     // oracle assigns the next batch's seq base from surviving rows
@@ -436,7 +455,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     val stats = phase("enqueue-gate")(
       fresh.agg(count(lit(1)), max("seq")).head)
     val n = stats.getLong(0)
-    probed.unpersist()
+    if (useBcastGate) probed.unpersist()
     if (n > 0) {
       val newMax = math.max(currentMaxSeq,
         if (stats.isNullAt(1)) -1L else stats.getLong(1))
@@ -452,6 +471,27 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     }
     fresh.unpersist()
     n
+  }
+
+  /** Memo of `frontier.readKeys()` keyed by the base-file set (the only
+    * files that scan reads). Single-writer engine, so a plain volatile
+    * pair suffices; the superseded cache is unpersisted eagerly. */
+  @volatile private var keysCache: (Seq[String], DataFrame) = null
+  private def cachedKeys(): DataFrame = {
+    if (frontier.currentId.isEmpty) {
+      import spark.implicits._
+      return spark.emptyDataset[Long].toDF("fp")
+    }
+    val sig = frontier.currentManifest.toSeq
+      .flatMap(_.files).filter(_.kind == "base").map(_.path)
+    val c = keysCache
+    if (c != null && c._1 == sig) c._2
+    else {
+      if (c != null) c._2.unpersist()
+      val df = frontier.readKeys().cache()
+      keysCache = (sig, df)
+      df
+    }
   }
 
   private val timing = sys.env.contains("SPARK_GRAFT_BATCH_TIMING")
@@ -798,7 +838,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
             Map("batch" -> batchNo.toDouble, "ok" -> nOk.toDouble,
               "failed" -> (nClaimed - nOk).toDouble)))
           phase("hygiene") {
-            if (frontier.compactIfNeeded(maxDeltaCommits = 6).isDefined)
+            if (frontier.compactIfNeeded(maxDeltaCommits = cfg.compactEvery).isDefined)
               frontier.expire(keepLast = 8)
             if (seenTbl.compactIfNeeded(maxDeltaCommits = 6).isDefined)
               seenTbl.expire(keepLast = 8)
@@ -839,6 +879,16 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     * on abort. Returns (batches, urlsProcessed). */
   def drain(maxBatches: Int = 1000): (Long, Long) = {
     quiesce()
+    // AQE OFF for the micro-batch loop (restored on exit): every batch
+    // replans the same bounded, fixed-shape claim/gate/commit queries,
+    // and AQE turns each of their exchanges into a separately scheduled
+    // query stage — a driver round trip per exchange per batch with
+    // nothing left for AQE to decide (partition counts are configured,
+    // skew is handled structurally: round-robin fetch map, salted
+    // consumers, bucketed claim). Analytical queries over the tables
+    // keep AQE: the flip is scoped to the loop, not the session.
+    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     var batchNo = if (frontier.currentId.isEmpty) 0L else nextBatchNo
     var total = 0L
     var n = -1L
@@ -848,7 +898,10 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
         n = runBatch(batchNo, defer = true)
         if (n > 0) { total += n; batchNo += 1; batches += 1 }
       }
-    } finally quiesce()
+    } finally {
+      try quiesce()
+      finally aqeBefore.foreach(v => spark.conf.set("spark.sql.adaptive.enabled", v))
+    }
     (batches, total)
   }
 

@@ -140,9 +140,18 @@ object Frontier {
     * is skipped (T4 first-occurrence semantics). Must run BEFORE the
     * probe so fps are unique downstream. */
   def firstOccurrence(candidates: DataFrame): DataFrame = {
-    val wFirst = Window.partitionBy("fp").orderBy("priority", "seq")
-    candidates.withColumn("__rn", row_number().over(wFirst))
-      .filter(col("__rn") === 1).drop("__rn")
+    // min_by aggregation, NOT a row_number window: same row selected
+    // (ties impossible — seq unique within a batch), but an aggregate
+    // has a map-side PARTIAL: a discovery wave whose outlinks hit a hot
+    // key collapses to one row per fp per task BEFORE the exchange,
+    // where the window shuffles (and sorts) every candidate row. At a
+    // 100 TB discovery wave that is the difference between shuffling
+    // O(outlinks) and O(distinct fps × tasks).
+    val others = candidates.columns.filterNot(_ == "fp").toSeq
+    candidates.groupBy("fp")
+      .agg(min_by(struct(others.map(col): _*),
+        struct(col("priority"), col("seq"))).as("__r"))
+      .select(col("fp") +: others.map(c => col("__r." + c).as(c)): _*)
   }
 
   /** Enqueue-side dedup gate (Q8, utils/queue_utils.py:61-66): drop
@@ -165,17 +174,36 @@ object Frontier {
                 broadcastCandidates: Boolean = false): DataFrame = {
     if (!candidates.columns.contains("maybeSeen"))
       return candidates.join(frontierKeys, Seq("fp"), "left_anti")
-    val definitelyNew = candidates.filter(!col("maybeSeen")).drop("maybeSeen")
-    val needCheck0 = candidates.filter(col("maybeSeen")).drop("maybeSeen")
-    val needCheck =
-      if (!broadcastCandidates)
-        needCheck0.join(frontierKeys, Seq("fp"), "left_anti")
-      else {
-        val hits = frontierKeys
-          .join(broadcast(needCheck0.select("fp")), Seq("fp"), "left_semi")
-        needCheck0.join(broadcast(hits), Seq("fp"), "left_anti")
-      }
-    definitelyNew.unionByName(needCheck)
+    // ONE linear plan, not a definitely-new/verify branch union: a LEFT
+    // join against the key set with the filter-positive check folded
+    // into the post-join filter. Semantics identical (cuckoo filters
+    // have no false negatives, so a maybeSeen=false row can never be in
+    // the key table; key fps are unique by the append contract, so the
+    // left join never duplicates). The branch-union shape consumed the
+    // probed candidates twice — forcing a cache materialization and two
+    // extra stages per batch; this shape reads them once, and the join
+    // reuses the firstOccurrence agg's hash partitioning on fp (no new
+    // candidate-side exchange).
+    if (!broadcastCandidates)
+      candidates
+        .join(frontierKeys.select(col("fp"), lit(true).as("__seen")),
+          Seq("fp"), "left")
+        .filter(!col("maybeSeen") || col("__seen").isNull)
+        .drop("maybeSeen", "__seen")
+    else {
+      // bounded candidate set vs a 10^10-key table: map-side semi filter
+      // of the big side (no shuffle of the key table), then the bounded
+      // hit set broadcasts back — candidates never shuffle at all.
+      // Caller must cache `candidates`: they are consumed twice here.
+      val hits = frontierKeys
+        .join(broadcast(candidates.filter(col("maybeSeen")).select("fp")),
+          Seq("fp"), "left_semi")
+      candidates
+        .join(broadcast(hits.select(col("fp"), lit(true).as("__seen"))),
+          Seq("fp"), "left")
+        .filter(!col("maybeSeen") || col("__seen").isNull)
+        .drop("maybeSeen", "__seen")
+    }
   }
 
   /** Crash recovery (Q9, utils/queue_utils.py:6-32): rows stuck in

@@ -70,7 +70,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
                           tagCol: Option[String] = None,
                           frozenTags: Set[String] = Set.empty,
                           bucketBy: Option[(String, Int)] = None,
-                          writeOptions: Map[String, String] = Map.empty) {
+                          writeOptions: Map[String, String] = Map.empty,
+                          cacheStateScans: Boolean = false) {
 
   import SnapshotTable._
 
@@ -114,9 +115,29 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
     if (Files.exists(cur)) Some(Files.readString(cur).trim.toLong) else None
   }
 
-  def manifest(id: Long): Manifest =
-    Manifest.parse(Files.readString(snapDir.resolve(f"snap-$id%06d.json")))
+  /** Parsed-manifest memo: manifests are immutable once published, so
+    * one entry per id is enough; keyed to the CURRENT id so a long
+    * drain holds exactly one live entry (plus whatever time-travel
+    * readers touch transiently — they bypass the memo). */
+  @volatile private var manifestCache: (Long, Manifest) = null
 
+  /** Memo for the pruned-state fast path's base scan (see readStates);
+    * only populated when `cacheStateScans` is on. */
+  @volatile private var stateScanCache: (Set[String], Seq[String], DataFrame) = null
+
+  def manifest(id: Long): Manifest = {
+    val c = manifestCache
+    if (c != null && c._1 == id) c._2
+    else {
+      val m = Manifest.parse(Files.readString(snapDir.resolve(f"snap-$id%06d.json")))
+      manifestCache = (id, m)
+      m
+    }
+  }
+
+  /** The engine consults the manifest many times per batch (read plans,
+    * size thresholds, props, commit parents); parsing the JSON each
+    * time is O(files) work that grows with the table — memoized above. */
   def currentManifest: Option[Manifest] = currentId.map(manifest)
 
   /** Resolved view: base ∖ deltaKeys ∪ latest-per-key delta rows. */
@@ -174,6 +195,56 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
     val plan = statesReadPlan(wantTags)
     if (plan.full.isEmpty) return empty
     val cols = schema.fieldNames.map(col).toSeq
+    // FAST PATH: every wanted file is a TAGGED BASE (deltaSeq 0) — the
+    // steady state of a claim read (pending rows enter by append; only
+    // recovery upserts put a wanted row in a delta, and that routes to
+    // the window path below). Base keys are disjoint (append contract),
+    // so merge-on-read degenerates to "drop base rows whose key appears
+    // in ANY newer delta": one anti-join against the since-compaction
+    // delta keys — a set bounded by the compaction cadence — instead of
+    // a sort-shuffle resolution window over the whole wanted set. At
+    // design scale this removes the claim's O(pending) exchange; the
+    // politeness rank becomes the claim's only shuffle.
+    if (plan.full.forall(f => f.deltaSeq == 0 && f.tag.nonEmpty)) {
+      val baseDf = {
+        val fresh = () => spark.read.schema(schema)
+          .parquet(plan.full.map(f => root.resolve(f.path).toString): _*)
+        if (!cacheStateScans) fresh()
+        else {
+          // CACHE-RESIDENT base scan (opt-in; the crawl frontier): the
+          // wanted-tag base set changes only on an append or a
+          // compaction — between those, every claim re-decoded the same
+          // parquet files. Keyed by (tags, file set); the superseded
+          // cache unpersists eagerly. MEMORY_AND_DISK semantics keep
+          // this sound when the working set outgrows executor memory —
+          // the design-scale statement is that the frontier HEAD is a
+          // cluster-resident structure, as in any production crawler.
+          val sig = plan.full.map(_.path)
+          val c = stateScanCache
+          if (c != null && c._1 == wantTags && c._2 == sig) c._3
+          else {
+            if (c != null) c._3.unpersist()
+            val df = fresh().cache()
+            stateScanCache = (wantTags, sig, df)
+            df
+          }
+        }
+      }
+      if (plan.shadowKeys.isEmpty) return baseDf.select(cols: _*)
+      val shadowDf = spark.read.schema(schema)
+        .parquet(plan.shadowKeys.map(f => root.resolve(f.path).toString): _*)
+        .select(keyCol)
+      // manifest-estimated shadow volume decides the join strategy:
+      // since-compaction deltas are O(few batches) — broadcast them and
+      // the base side never shuffles (the key column is ~10x smaller
+      // than the full-row bytes the manifest records, so the bound is
+      // conservative)
+      val sh =
+        if (plan.shadowKeys.map(_.bytes).sum <= ShadowBroadcastBytes)
+          broadcast(shadowDf)
+        else shadowDf
+      return baseDf.join(sh, Seq(keyCol), "left_anti").select(cols: _*)
+    }
     val candDf = plan.full.groupBy(f => (f.deltaSeq, f.tag)).toSeq.sortBy(_._1).map {
       case ((seq, tag), fs) =>
         val df = spark.read.schema(schema)
@@ -374,11 +445,33 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
       case Some(m) if m.files.filter(_.kind == "delta")
           .map(_.deltaSeq).distinct.size > maxDeltaCommits =>
         validateLayout(m)
-        val (frozen, active) = m.files.partition(f =>
+        val (frozen0, active0) = m.files.partition(f =>
           f.kind == "base" && f.tag.nonEmpty && frozenTags(f.tag))
+        // LSM-style bin-packing of SMALL frozen files: terminal-state
+        // bases are never upserted, but each compaction adds a fresh
+        // small terminal file — carried untouched forever, the per-batch
+        // key/claim scans reopen O(compactions) files over a long drain.
+        // Folding a tag's small files (< target/8) back into the rewrite
+        // once it has ≥4 of them keeps file count O(bytes/target) at
+        // O(log) amortized rewrites per row; files at target size are
+        // never rewritten again, preserving the O(active set) compaction
+        // guarantee.
+        val foldable = frozen0.filter(_.bytes < TargetFileBytes / 8)
+          .groupBy(_.tag).filter(_._2.size >= 4).values.flatten.toSet
+        val frozen = frozen0.filterNot(foldable)
+        val active = active0 ++ foldable
         val resolved = readResolved(m.copy(files = active))
         val nextId = m.id + 1
-        val files = frozen ++ writeData(resolved, nextId, "base", 0L)
+        // output files sized by the rewrite's bytes (~128 MB target):
+        // the resolution plan ends in O(shuffle partitions) tasks, so an
+        // unsized write emits ~32 files per tag per compaction and the
+        // claim/readKeys scans then reopen O(compactions × 32) files per
+        // batch — the measured growth term of the 300k-seed drain.
+        // coalesce (no shuffle): the active set is O(working set); the
+        // bytes-based count keeps the write wide once it isn't.
+        val nOut = math.max(1L, math.min(1024L,
+          active.map(_.bytes).sum / TargetFileBytes + 1)).toInt
+        val files = frozen ++ writeData(resolved.coalesce(nOut), nextId, "base", 0L)
         val man = Manifest(nextId, Some(m.id), m.schemaDdl, files,
           metrics + ("compacted" -> 1.0), m.props ++ layoutProps)
         publish(man)
@@ -546,6 +639,9 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
     Files.move(tmp, snapDir.resolve(f"snap-${m.id}%06d.json"),
       StandardCopyOption.ATOMIC_MOVE)
     writeCurrent(m.id)
+    // seed the memo: the very next currentManifest call is usually the
+    // same batch reading back what it just committed
+    manifestCache = (m.id, m)
   }
 
   private def writeCurrent(id: Long): Unit = {
@@ -557,6 +653,16 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
 }
 
 object SnapshotTable {
+
+  /** Compaction output target file size: rewrites coalesce to
+    * ceil(bytes/target) files so scans open O(bytes/target) files, not
+    * O(compactions × shuffle partitions). */
+  val TargetFileBytes: Long = 128L << 20
+
+  /** Manifest-bytes bound under which a pruned state read broadcasts
+    * the since-compaction shadow keys (full-row bytes — conservative
+    * for a single-column scan). */
+  val ShadowBroadcastBytes: Long = 64L << 20
 
   /** Manifest prop keys recording the physical layout (see
     * `layoutProps` above — immutable once written). */

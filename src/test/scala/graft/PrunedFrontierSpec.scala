@@ -120,6 +120,14 @@ class PrunedFrontierSpec extends AnyFunSuite {
     (0 until 3).foreach(lifecycleFuzz(_, mkTagged, bucketScan = false))
   }
 
+  test("fuzz: cacheStateScans=true — the cached pending-base fast path resolves identically (2 seeds)") {
+    def mkCached(dir: String) =
+      new SnapshotTable(spark, dir, "fp", tagCol = Some("state"),
+        frozenTags = Set(FrontierState.Processed, FrontierState.Failed),
+        cacheStateScans = true)
+    (5 until 7).foreach(lifecycleFuzz(_, mkCached, bucketScan = false))
+  }
+
   test("fuzz: bucketed tables — readStates AND the per-bucket claim scan match the model (2 seeds)") {
     def mkBucketed(dir: String) =
       new SnapshotTable(spark, dir, "fp", tagCol = Some("state"),
@@ -130,8 +138,12 @@ class PrunedFrontierSpec extends AnyFunSuite {
 
   test("after a drain, the pending claim plan skips the terminal base bulk") {
     val dir = freshDir()
+    // compactEvery = 4: this short drain must reach the steady state the
+    // assertion is about (terminal rows folded into frozen base files);
+    // the default cadence (12 delta commits ≈ 6 batches) would leave the
+    // whole drain inside one compaction window
     val eng = new CrawlEngine(spark, dir,
-      CrawlConfig(batchSize = 256, universe = 500))
+      CrawlConfig(batchSize = 256, universe = 500, compactEvery = 4))
     eng.init(200)
     eng.drain()
     val m = eng.frontier.currentManifest.get
