@@ -64,8 +64,13 @@ final case class CrawlConfig(
   * not the sum: commits ride a single-thread commit lane that overlaps
   * compute wherever the crash-safety order allows. Per batch:
   *   [claim ∥ previous tail] → [processing-commit ∥ process] →
-  *   [payload-commit ∥ enqueue] → tail (terminal-commit + hygiene,
-  *   deferred into the NEXT batch's window when drain() runs pipelined).
+  *   [payload-commit ∥ enqueue ∥ SPECULATIVE next claim] → tail
+  *   (terminal-commit + hygiene, deferred into the NEXT batch's window
+  *   when drain() runs pipelined). The speculative claim (see runBatch)
+  *   takes the next batch's claim — a pure read — concurrent with the
+  *   dedup-gate chain and keeps it exactly when provably identical to
+  *   the post-append claim, so in the steady state neither the gate nor
+  *   the claim sits on the serial path.
   * The durability ORDER this preserves: processing strictly first,
   * then payload (lane) CONCURRENT with seen → append (driver) — the
   * same concurrency the serial loop already had — then terminal
@@ -522,6 +527,49 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     * hygiene) when `drain` runs pipelined; null when idle. */
   private var inflight: java.util.concurrent.Future[_] = null
 
+  /** Helper thread for the SPECULATIVE next-batch claim (a pure READ —
+    * all writes stay on the driver thread and the commit lane). */
+  private val specPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(1,
+      new java.util.concurrent.ThreadFactory {
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"crawl-spec-claim-${System.identityHashCode(CrawlEngine.this)}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
+  /** One politeness-budgeted claim against the CURRENT frontier state:
+    * lineage-truncated (localCheckpoint) plus the one action that reads
+    * the row count and the replay marker. Pure read — safe to run from
+    * the speculation thread concurrently with the dedup-gate chain. */
+  private final case class ClaimedBatch(df: DataFrame, n: Long, hasReplay: Boolean)
+  private def claimBatch(): ClaimedBatch = {
+    val bucketed = cfg.claimMode == "bucketed"
+    // NOT cached: its single consumer is the checkpointed claim
+    val pending =
+      if (bucketed) null
+      else frontier.readStates(Set(FrontierState.Pending))
+    // localCheckpoint, NOT cache: the claim's lineage reads LIVE
+    // frontier state, so a recomputation after block loss (executor
+    // death on a real cluster) would re-evaluate it AFTER later commits
+    // changed that state — silently claiming different rows.
+    // Checkpointing truncates the lineage: block loss fails the job
+    // instead (fail-stop), the batch aborts with rows still
+    // recoverable, and resume() replays.
+    val claimed = (if (bucketed)
+      Frontier.claimBucketedBySynthPolicy(frontier, spark, cfg.seed,
+        cfg.batchSize, cfg.batchMs)
+    else Frontier.claimBySynthPolicy(pending, cfg.seed,
+      cfg.batchSize, cfg.batchMs)).localCheckpoint(false)
+    // ONE action materializes the checkpoint AND reads both facts the
+    // driver needs from it: the row count and the replay marker
+    val stats = phase("claim")(
+      claimed.agg(count(lit(1)), min("priority")).head)
+    ClaimedBatch(claimed, stats.getLong(0),
+      !stats.isNullAt(1) && stats.getInt(1) == FrontierState.RecoveryPriority)
+  }
+
   /** Join the deferred tail, surfacing its failure. Idempotent. */
   private def quiesce(): Unit = {
     val f = inflight
@@ -549,8 +597,31 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     * exactly the serial story and crash safety is unchanged: a crash
     * before the deferred terminal commit lands leaves rows in
     * `processing` for resume(). */
-  private def runBatch(batchNo: Long, defer: Boolean): Long = {
-    if (frontier.currentId.isEmpty) { quiesce(); return 0L } // never initialized
+  private def runBatch(batchNo: Long, defer: Boolean): Long =
+    runBatch(batchNo, defer, pre = None, specNext = false)._1
+
+  /** Core of one micro-batch. `pre` is a claim already taken (by the
+    * previous batch's speculation); when `specNext` is set, the NEXT
+    * batch's claim is taken SPECULATIVELY on the spec thread, CONCURRENT
+    * with this batch's dedup-gate chain, and returned when provably
+    * identical to the post-append claim:
+    *  - the gate appended nothing (nFresh == 0 — the steady state of a
+    *    saturated discovery universe, and every politeness-dribble
+    *    batch), the frontier's pending view is unchanged, or
+    *  - the speculative claim is a FULL batch: discovery appends enter
+    *    at NormalPriority with seqs above every pending row, so they
+    *    sort strictly after all existing same-priority rows — they can
+    *    fill unused slots but never displace a row of a full claim
+    *    (per-host ranks of existing rows are unchanged too: appends
+    *    rank last within their host lane).
+    * Otherwise the speculative claim is discarded (a pure read — its
+    * checkpoint blocks are freed by the ContextCleaner) and the claim
+    * is redone against the post-append state. All WRITES keep their
+    * existing threads and order; speculation only moves a read. */
+  private def runBatch(batchNo: Long, defer: Boolean,
+                       pre: Option[ClaimedBatch],
+                       specNext: Boolean): (Long, Option[ClaimedBatch]) = {
+    if (frontier.currentId.isEmpty) { quiesce(); return (0L, None) } // never initialized
     // PRUNED claim read: resolves only pending-tagged files (+ key
     // columns of since-compaction deltas for shadowing) — terminal base
     // files, the table's bulk at design scale, are never opened
@@ -564,49 +635,23 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     // the only rows that commit touches were already `processing` (thus
     // excluded) when this batch started. So the claim job runs while
     // the previous tail commits.
-    val bucketed = cfg.claimMode == "bucketed"
-    // NOT cached: its single consumer is `claimed`, which is cached
-    // itself — r2's cache fed three consumers (maxSeq agg, key scan),
-    // both since moved to the manifest prop / readKeys, so a cache here
-    // would only pin dead blocks for the rest of the batch
-    val pending =
-      if (bucketed) null
-      else frontier.readStates(Set(FrontierState.Pending))
-    var claimed: DataFrame = null
     var processed: org.apache.spark.sql.Dataset[ProcessedUrl] = null
     var tailOwnsProcessed = false
     var procFuture: java.util.concurrent.Future[_] = null
     var procJoined = false
     var payloadFuture: java.util.concurrent.Future[_] = null
     var payloadJoined = false
+    var specFuture: java.util.concurrent.Future[ClaimedBatch] = null
     try {
-      // localCheckpoint, NOT cache: the claim's lineage reads LIVE
-      // frontier state, so a recomputation after block loss (executor
-      // death on a real cluster) would re-evaluate it AFTER this
-      // batch's own commits changed that state — silently claiming
-      // different rows. Checkpointing truncates the lineage: block loss
-      // fails the job instead (fail-stop), the batch aborts with rows
-      // still recoverable, and resume() replays. Blocks are freed by
-      // the ContextCleaner when the frame is unreferenced.
-      claimed = (if (bucketed)
-        Frontier.claimBucketedBySynthPolicy(frontier, spark, cfg.seed,
-          cfg.batchSize, cfg.batchMs)
-      else Frontier.claimBySynthPolicy(pending, cfg.seed,
-        cfg.batchSize, cfg.batchMs)).localCheckpoint(false)
-      // ONE action materializes the checkpoint AND reads both facts the
-      // driver needs from it: the row count and the replay marker
-      // (min priority) — the separate min-agg job was a per-batch fixed
-      // cost
-      val claimStats = phase("claim")(
-        claimed.agg(count(lit(1)), min("priority")).head)
-      val nClaimed = claimStats.getLong(0)
-      val hasReplay = !claimStats.isNullAt(1) &&
-        claimStats.getInt(1) == FrontierState.RecoveryPriority
+      val cb = pre.getOrElse(claimBatch())
+      val claimed = cb.df
+      val nClaimed = cb.n
+      val hasReplay = cb.hasReplay
       // join the previous deferred tail before any write of our own;
       // timed: nonzero tail-wait means the commit lane overflowed the
       // claim+process window (lane saturation, the drain's scaling cap)
       phase("tail-wait")(quiesce())
-      if (nClaimed == 0) return 0L
+      if (nClaimed == 0) return (0L, None)
 
       // checkpoint: claimed rows become `processing` — crash after this
       // commit is what resume() recovers from. It runs on the commit
@@ -795,13 +840,39 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
         .withColumn("seq", lit(maxSeq) + col("__off") + col("idx") + lit(1L))
         .withColumn("priority", lit(Frontier.NormalPriority))
         .select("url", "priority", "seq").as[SeedUrl]
+      // SPECULATIVE next claim: launched before the gate chain, so the
+      // claim job (a pure read) overlaps the dedup-gate jobs below —
+      // the two largest per-batch critical-path latencies run
+      // concurrently instead of back-to-back. Validity is decided after
+      // the gate (see runBatch scaladoc). Preconditions hold here: the
+      // processing commit is durable (this batch's rows read as
+      // `processing`, thus excluded), and no other frontier write is in
+      // flight until the enqueue below.
+      if (specNext) specFuture = specPool.submit(
+        new java.util.concurrent.Callable[ClaimedBatch] {
+          override def call(): ClaimedBatch = claimBatch()
+        })
+
       // no outer phase wrapper: enqueue's real work is accounted by its
       // own exclusive phases (enqueue-probe / enqueue-gate / seen-commit
       // / append-commit) so the decomposition stays ADDITIVE — the r4
       // artifact's nested "enqueue" total was double-counted against its
       // parts by every reader
-      enqueue(Frontier.toEntries(spark, discoveredSeeds, batchNo, cfg.seed),
+      val nFresh = enqueue(Frontier.toEntries(spark, discoveredSeeds, batchNo, cfg.seed),
         batchNo, boundedCandidates = true)
+
+      // resolve the speculation: identical-by-construction when nothing
+      // was appended or the speculative claim is a full batch; redone
+      // against the post-append frontier otherwise (the redo is the
+      // exact claim the serial loop would have taken)
+      val spec: Option[ClaimedBatch] =
+        if (specFuture == null) None
+        else {
+          val s = phase("spec-wait")(specFuture.get())
+          specFuture = null
+          if (nFresh == 0 || s.n == cfg.batchSize) Some(s)
+          else Some(claimBatch())
+        }
 
       // join the concurrent payload commit BEFORE the terminal flip
       // (exceptions surface here, so a failed payload write still
@@ -850,7 +921,7 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
       tailOwnsProcessed = true
       if (defer) inflight = commitPool.submit(tail)
       else tail.run()
-      nClaimed
+      (nClaimed, spec)
     } finally {
       // an enqueue failure between submit and get() must not orphan the
       // in-flight payload commit: await it so (a) its own failure is
@@ -867,6 +938,14 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
         try procFuture.get()
         catch { case e: Throwable =>
           System.err.println(s"[crawl] processing commit failed during batch abort: $e")
+        }
+      }
+      // a speculative claim orphaned by an abort is a pure read — just
+      // observe it so no job is left issuing work after the batch exits
+      if (specFuture != null) {
+        try specFuture.get()
+        catch { case e: Throwable =>
+          System.err.println(s"[crawl] speculative claim failed during batch abort: $e")
         }
       }
       if (!tailOwnsProcessed && processed != null) processed.unpersist()
@@ -893,9 +972,13 @@ final class CrawlEngine(spark: SparkSession, workDir: String,
     var total = 0L
     var n = -1L
     var batches = 0L
+    var pre: Option[ClaimedBatch] = None
     try {
       while (n != 0L && batches < maxBatches) {
-        n = runBatch(batchNo, defer = true)
+        val (nn, spec) = runBatch(batchNo, defer = true, pre,
+          specNext = batches + 1 < maxBatches)
+        n = nn
+        pre = spec // a claim speculatively taken past maxBatches is just dropped
         if (n > 0) { total += n; batchNo += 1; batches += 1 }
       }
     } finally {

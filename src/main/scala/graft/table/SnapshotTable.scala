@@ -467,11 +467,14 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
         // unsized write emits ~32 files per tag per compaction and the
         // claim/readKeys scans then reopen O(compactions × 32) files per
         // batch — the measured growth term of the 300k-seed drain.
-        // coalesce (no shuffle): the active set is O(working set); the
-        // bytes-based count keeps the write wide once it isn't.
+        // repartition, NOT coalesce: coalesce(1) collapsed the whole
+        // resolve (scan + anti-join + delta window) into one task —
+        // measured 2.5-4.5 s lane stalls per compaction at 300k fill;
+        // the round-robin exchange moves O(active) small rows and keeps
+        // the resolve at full width with only the write narrow.
         val nOut = math.max(1L, math.min(1024L,
           active.map(_.bytes).sum / TargetFileBytes + 1)).toInt
-        val files = frozen ++ writeData(resolved.coalesce(nOut), nextId, "base", 0L)
+        val files = frozen ++ writeData(resolved.repartition(nOut), nextId, "base", 0L)
         val man = Manifest(nextId, Some(m.id), m.schemaDdl, files,
           metrics + ("compacted" -> 1.0), m.props ++ layoutProps)
         publish(man)
