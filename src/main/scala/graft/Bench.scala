@@ -105,17 +105,22 @@ object Bench {
 
   /** Interleaved A/B/A/B measurement of a core-count pair: each rep
     * measures both levels back-to-back so monotone machine drift lands
-    * on both sides of the ratio; medians kill one-off outliers. */
+    * on both sides of the ratio; medians kill one-off outliers. The
+    * RATIO of record is the median of per-rep ratios (each rep's pair
+    * shares one machine window), not a ratio of independently-medianed
+    * walls — the latter can pair a lucky window at one level with an
+    * unlucky one at the other. */
   private def timePairMedian(cpusA: Int, cpusB: Int, reps: Int,
                              warm: SparkSession => Unit,
-                             job: SparkSession => Unit): (Double, Double) = {
+                             job: SparkSession => Unit): (Double, Double, Double) = {
     val as = scala.collection.mutable.ArrayBuffer.empty[Double]
     val bs = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to reps).foreach { _ =>
       as += oneRun(cpusA, warm, job)
       bs += oneRun(cpusB, warm, job)
     }
-    (median(as.toSeq), median(bs.toSeq))
+    val ratios = as.zip(bs).map { case (a, b) => a / b }.toSeq
+    (median(as.toSeq), median(bs.toSeq), median(ratios))
   }
 
   def main(args: Array[String]): Unit = {
@@ -340,8 +345,7 @@ object Bench {
           hi += runDrain(drainScaleSeeds, drainCpus = 16, batch = drainScaleBatch,
             maxBatches = drainScaleMaxBatches, batchMs = drainScaleBatchMs)
         }
-        Some((lo.sortBy(_.wall).apply(lo.length / 2),
-              hi.sortBy(_.wall).apply(hi.length / 2)))
+        Some((lo.toSeq, hi.toSeq))
       } else None
 
     // feed-path benches (VERDICT r4 #8): the streaming seed-ingestion
@@ -389,9 +393,10 @@ object Bench {
     val warmN = math.min(2000, scaleN)
     def stageWarm(s: SparkSession): Unit = { processStage(s, warmN); () }
     def stageJob(s: SparkSession): Unit = { processStage(s, scaleN); () }
-    val ((wall4, wall16), (wall8, wall32), (ctl4, ctl16), (ctl8, ctl32)) =
+    val ((wall4, wall16, r416), (wall8, wall32, r832),
+         (_, _, ctlR416), (_, _, ctlR832)) =
       if (skipScaling)
-        ((-1.0, -1.0), (-1.0, -1.0), (-1.0, -1.0), (-1.0, -1.0))
+        ((-1.0, -1.0, 1.0), (-1.0, -1.0, 1.0), (-1.0, -1.0, 1.0), (-1.0, -1.0, 1.0))
       else {
         def ctlWarm(s: SparkSession): Unit = { cpuControl(s, 100000L); () }
         def ctlJob(s: SparkSession): Unit = { cpuControl(s, 2000000L); () }
@@ -400,10 +405,10 @@ object Bench {
          timePairMedian(4, 16, scaleReps, ctlWarm, ctlJob),
          timePairMedian(8, 32, scaleReps, ctlWarm, ctlJob))
       }
-    val eff416 = (wall4 / wall16) / 4.0
-    val eff832 = (wall8 / wall32) / 4.0
-    val ctlEff416 = (ctl4 / ctl16) / 4.0
-    val ctlEff832 = (ctl8 / ctl32) / 4.0
+    val eff416 = r416 / 4.0
+    val eff832 = r832 / 4.0
+    val ctlEff416 = ctlR416 / 4.0
+    val ctlEff832 = ctlR832 / 4.0
 
     val total = results.map(_._2).sum
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
@@ -421,12 +426,23 @@ object Bench {
     val bucketedJson = bucketedDrain.map { case (seeds, r) =>
       f""""frontier_drain_bucketed":{"seeds":$seeds,"urls_processed":${r.processed},"batches":${r.batches},"wall_sec":${r.wall}%.3f,"init_sec":${r.initSec}%.3f,"urls_per_sec":${r.processed / r.wall}%.1f,"warm_session":true,"claim_mode":"bucketed","storage":"$storageKind"},"""
     }.getOrElse("")
-    val drainScaleJson = drainScale.map { case (lo, hi) =>
-      val eff = (lo.wall / hi.wall) / 4.0
-      f""""drain_scaling":{"job":"frontier drain $drainScaleSeeds seeds","method":"interleaved median of $drainScaleReps, warm sessions, init excluded, full-load phase only (max_batches caps off the politeness-starved dribble tail — policy wait, not throughput; identical deterministic claims at both levels)","drain_batch":$drainScaleBatch,"batch_ms":$drainScaleBatchMs,"max_batches":$drainScaleMaxBatches,"urls_processed":${lo.processed},"batches":${lo.batches},"storage":"$storageKind",""" +
+    val drainScaleJson = drainScale.map { case (los, his) =>
+      // efficiency = MEDIAN OF PER-REP RATIOS, not a ratio of medians:
+      // each rep's local[4] and local[16] runs execute back-to-back in
+      // the same machine window, so the per-rep ratio is window-
+      // controlled — medianing the walls separately can pair a lucky
+      // local[4] window with an unlucky local[16] one (observed ±25%
+      // swing on the ratio from exactly that). The per-rep ratio list
+      // ships in the artifact so the spread is visible.
+      val effs = los.zip(his).map { case (l, h) => (l.wall / h.wall) / 4.0 }
+      val eff = median(effs)
+      val lo = los.sortBy(_.wall).apply(los.length / 2)
+      val hi = his.sortBy(_.wall).apply(his.length / 2)
+      val effsJson = effs.map(e => f"$e%.3f").mkString("[", ",", "]")
+      f""""drain_scaling":{"job":"frontier drain $drainScaleSeeds seeds","method":"per-rep interleaved ratios, median of $drainScaleReps (each rep's 4/16 pair runs back-to-back in one machine window), warm sessions, init excluded, full-load phase only (max_batches caps off the politeness-starved dribble tail — policy wait, not throughput; identical deterministic claims at both levels)","drain_batch":$drainScaleBatch,"batch_ms":$drainScaleBatchMs,"max_batches":$drainScaleMaxBatches,"urls_processed":${lo.processed},"batches":${lo.batches},"storage":"$storageKind",""" +
       f""""wall_local4":${lo.wall}%.3f,"wall_local16":${hi.wall}%.3f,"init_sec_local4":${lo.initSec}%.3f,"init_sec_local16":${hi.initSec}%.3f,""" +
       f""""urls_per_sec_local4":${lo.processed / lo.wall}%.1f,"urls_per_sec_local16":${hi.processed / hi.wall}%.1f,""" +
-      f""""efficiency_4_to_16":$eff%.3f,""" +
+      f""""efficiency_4_to_16":$eff%.3f,"efficiency_per_rep":$effsJson,""" +
       s""""phase_sec_local4":${phaseJson(lo.phases)},"phase_sec_local16":${phaseJson(hi.phases)}},"""
     }.getOrElse("")
     val feedsJson = {

@@ -442,8 +442,25 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
   def compactIfNeeded(maxDeltaCommits: Int = 8,
                       metrics: Map[String, Double] = Map.empty): Option[Long] =
     currentManifest match {
-      case Some(m) if m.files.filter(_.kind == "delta")
-          .map(_.deltaSeq).distinct.size > maxDeltaCommits =>
+      case Some(m) if {
+        val deltas = m.files.filter(_.kind == "delta")
+        val commits = deltas.map(_.deltaSeq).distinct.size
+        // commit-count gate AND a rows-proportional gate: compaction
+        // rewrites the whole active set, so firing on commit count alone
+        // makes per-batch compaction work grow with table fill (the
+        // 300k-drain's falling-throughput term — a fixed batch cadence
+        // rewriting an O(pending) set). Requiring the delta volume to
+        // reach a fraction of the active set makes the rewrite
+        // amortized-proportional to the rows actually folded — flat
+        // with fill. The 3× commit hard bound still caps merge-on-read
+        // layering (claim shadow size, plan width) regardless of volume.
+        commits > maxDeltaCommits && {
+          val deltaRows = deltas.map(_.rows).sum
+          val activeRows = m.files.filterNot(f =>
+            f.kind == "base" && f.tag.nonEmpty && frozenTags(f.tag)).map(_.rows).sum
+          deltaRows * 5 >= activeRows || commits > maxDeltaCommits * 3
+        }
+      } =>
         validateLayout(m)
         val (frozen0, active0) = m.files.partition(f =>
           f.kind == "base" && f.tag.nonEmpty && frozenTags(f.tag))
