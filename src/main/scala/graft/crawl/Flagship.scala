@@ -167,12 +167,19 @@ object Flagship {
     * counts (spec-tested); this query gates the computation beneath it. */
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import graft.image.ImageOps
+    import graft.image.{ImageCodec, ImageOps}
     engine(spark, sfDir).media.select("image_id", "fmt", "bytes")
       .as[(String, String, Array[Byte])]
       .map { case (id, fmt, bytes) =>
-        val dims = ImageOps.decodeDims(bytes)
-        val c = ImageOps.lumaHistCounts(bytes)
+        // ONE decode serves dims AND the histogram (r6): the codec is
+        // deterministic, so dims/counts are byte-identical to the old
+        // decode-twice shape, at half the codec work. Failure semantics
+        // unchanged (decode null/throw → both -1, as before).
+        val img = try ImageCodec.decode(bytes) catch { case _: Throwable => null }
+        val dims =
+          if (img == null) None
+          else Some(ImageOps.Dims(img.getWidth, img.getHeight))
+        val c = if (img == null) None else ImageOps.lumaHistCountsFrom(img)
         val h = c.getOrElse(Array.fill(16)(-1L))
         MediaFeatureRow(id, fmt,
           dims.map(_.w.toLong).getOrElse(-1L), dims.map(_.h.toLong).getOrElse(-1L),
@@ -212,17 +219,30 @@ object Flagship {
     * as a plausible value. */
   def mediaInvariants(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import graft.image.ImageOps
+    import graft.image.{ImageCodec, ImageOps}
     engine(spark, sfDir).media.select("image_id", "bytes")
       .as[(String, Array[Byte])]
       .map { case (id, bytes) =>
-        val dims = ImageOps.decodeDims(bytes)
-        val histPx = ImageOps.lumaHistPxSum(bytes).getOrElse(-1L)
-        val thumb = ImageOps.resizePng(bytes, 8, 8).flatMap(ImageOps.decodeDims)
+        // ONE decode serves dims, the raster-size invariant AND the
+        // thumbnail source (r6; the codec is deterministic, so the
+        // previous decode-per-invariant shape produced byte-identical
+        // values at 3× the codec work — decode dominated this query).
+        // Failure semantics unchanged: decode null/throw → every
+        // decode-derived value is -1, exactly as when each helper
+        // decoded for itself.
+        val img = try ImageCodec.decode(bytes) catch { case _: Throwable => null }
+        val dw = if (img == null) -1L else img.getWidth.toLong
+        val dh = if (img == null) -1L else img.getHeight.toLong
+        val histPx =
+          if (img == null) -1L
+          else try ImageCodec.pixels(img).length.toLong
+               catch { case _: Throwable => -1L }
+        val thumb =
+          if (img == null) None
+          else ImageOps.resizePngFrom(img, 8, 8).flatMap(ImageOps.decodeDims)
         val framesPx = ImageOps.sampleFramesStub(bytes, 3).iterator
           .flatMap(ImageOps.decodeDims).map(d => d.w.toLong * d.h).sum
-        (id, dims.map(_.w.toLong).getOrElse(-1L), dims.map(_.h.toLong).getOrElse(-1L),
-          histPx, thumb.map(_.w.toLong).getOrElse(-1L),
+        (id, dw, dh, histPx, thumb.map(_.w.toLong).getOrElse(-1L),
           thumb.map(_.h.toLong).getOrElse(-1L), framesPx)
       }
       .toDF("image_id", "dec_w", "dec_h", "hist_px", "thumb_w", "thumb_h",

@@ -33,6 +33,16 @@ object ImageOps {
     try {
       val src = ImageCodec.decode(bytes)
       if (src == null) return None
+      resizePngFrom(src, w, h)
+    } catch { case _: Throwable => None }
+
+  /** `resizePng` over an ALREADY-DECODED image — the single-decode twin
+    * (same Graphics2D path, same encoder) for audits that derive several
+    * invariants from one decode (q44: the decode was ~3/4 of the per-
+    * image cost when dims, raster size and the thumbnail each re-decoded
+    * the same payload). */
+  def resizePngFrom(src: BufferedImage, w: Int, h: Int): Option[Array[Byte]] =
+    try {
       val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       val g = dst.createGraphics()
       g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
@@ -59,6 +69,13 @@ object ImageOps {
     try {
       val img = ImageCodec.decode(bytes)
       if (img == null) return None
+      lumaHistCountsFrom(img)
+    } catch { case _: Throwable => None }
+
+  /** `lumaHistCounts` over an already-decoded image (single-decode twin;
+    * same pixel extraction, same binning loop). */
+  def lumaHistCountsFrom(img: BufferedImage): Option[Array[Long]] =
+    try {
       val px = ImageCodec.pixels(img)
       val bins = new Array[Long](16)
       px.foreach { p =>

@@ -18,16 +18,23 @@ object Dedup {
   private def toks(c: org.apache.spark.sql.Column) =
     split(trim(lower(c)), "\\s+")
 
-  /** Word 3-gram shingles (distinct), for docs with >= 3 tokens. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  /** Word 3-gram shingles, for docs with >= 3 tokens. `dedup` controls
+    * the per-(doc, sh) distinct: q21's document-frequency / size counts
+    * need it; the MIN-aggregating consumers (q22/q23/q45 minhash) do
+    * NOT — min over a bag equals min over its distinct set — so they
+    * skip the distinct's full shuffle of the shingle set (guide §2.4:
+    * remove shuffles outright). */
+  private def shingled(s: SparkSession, d: String,
+                       dedup: Boolean = true): DataFrame = {
+    val sh = documents(s, d)
       .withColumn("w", toks(col("text")))
       .filter(size(col("w")) >= 3)
       .withColumn("sh", explode(transform(
         sequence(lit(1), size(col("w")) - 2),
         i => concat_ws(" ", slice(col("w"), i, lit(3))))))
       .select("doc_id", "source", "sh")
-      .distinct()
+    if (dedup) sh.distinct() else sh
+  }
 
   private val shingleCte: String =
     """shingles AS (
@@ -123,12 +130,25 @@ object Dedup {
 
   /** MinHash signatures: 8 hash functions h_i(x) = md5(i || '|' || x),
     * signature_i = min over shingles (string min — md5 hex orders
-    * uniformly). Long format (doc_id, i, minhash). */
-  def q22MinhashSig(s: SparkSession, d: String): DataFrame =
-    shingled(s, d)
-      .withColumn("i", explode(sequence(lit(0L), lit(7L))))
-      .groupBy("doc_id", "i")
-      .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("sh")))).as("minhash"))
+    * uniformly). Long format (doc_id, i, minhash).
+    *
+    * Computed WIDE (r6): one groupBy(doc_id) with 8 min aggregates —
+    * map-side partial collapses each task's shingles to one row per doc
+    * BEFORE the exchange — then exploded to the long format AFTER the
+    * aggregation (8 rows per doc, not 8 per shingle pre-shuffle; the
+    * old `explode(0..7)`-first shape shuffled the shingle set 8×).
+    * Values identical by construction: min(md5("i|" ++ sh)) over the
+    * same shingle bag either way (the q22 oracle gates it). */
+  def q22MinhashSig(s: SparkSession, d: String): DataFrame = {
+    val aggs = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i"))
+    shingled(s, d, dedup = false)
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until 8).map(i => col(s"m$i")): _*)))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        col("col").as("minhash"))
+  }
 
   val q22Sql: String =
     s"""WITH $shingleCte
@@ -148,18 +168,22 @@ object Dedup {
     * oracles gate it); the band explode afterwards is 4 rows per DOC,
     * not 8 per shingle. */
   def q23MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
+    // dedup=false: min over the shingle bag == min over its distinct
+    // set, so the distinct's extra shuffle is dropped (r6)
+    val sh = shingled(s, d, dedup = false)
     val aggs = (0 until 8).map(i =>
       min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i"))
     val wide = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    // materialized ONCE (same treatment as before): both join sides
-    // would otherwise recompute the whole shingle→minhash pipeline
+    // pinned ONCE (same sharing as before): both join sides would
+    // otherwise recompute the whole shingle→minhash pipeline. LAZY
+    // checkpoint (r6): the first consumer's stage materializes the
+    // blocks — the eager variant paid a dedicated job for it.
     val bandSig = wide.select(col("doc_id"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band"),
           concat_ws("|", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("band_sig"))): _*
       )).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val a = bandSig.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
     val b = bandSig.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
     a.join(b, Seq("band", "band_sig"))
@@ -292,18 +316,25 @@ object Dedup {
     * the component min. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           aCol: String, bCol: String): DataFrame = {
+    // LAZY localCheckpoints (r6): the checkpoint still truncates lineage
+    // and pins blocks, but materialization rides the FIRST action that
+    // reads it — round 1's convergence count — instead of one eager job
+    // per checkpoint. Jobs per q45 run drop from ~(3 + 2·rounds) to
+    // ~(rounds + 2), which is also what makes the query robust on a
+    // contended driver (each job is a scheduling round trip).
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // the loop runs ONLY over pair-incident nodes: every other node is
     // a singleton whose label is itself, forever. At corpus scale this
     // is the load-bearing cut — 10^10 docs with a near-dup pair set
     // orders of magnitude smaller must not shuffle the corpus once per
     // round, only the connected subset.
-    val inPairs = edges.select(col("u").as("doc_id")).distinct().localCheckpoint()
+    val inPairs = edges.select(col("u").as("doc_id")).distinct().localCheckpoint(false)
+    // initial labels: a NARROW projection of the pinned inPairs — its
+    // own checkpoint was a redundant materialization of the same rows
     var labels = inPairs
       .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
     // fixpoint detection by EXACT changed-row count (labels only ever
     // decrease, so changed == 0 is the fixpoint) — not a label-sum
     // compare, which overflows Long at ~10^10 × 10^10-magnitude ids
@@ -328,14 +359,18 @@ object Dedup {
     }
     var converged = false
     var rounds = 0
-    // one materialization + one count per round. (Fusing two rounds per
-    // checkpoint was measured SLOWER at sf0.1 — the inner round's
-    // subtree is referenced three times and ReuseExchange does not
-    // collapse it under AQE — so the loop stays one-round-per-job.)
+    // ONE job per round: the lazy checkpoint is materialized by the
+    // convergence count itself (the count's job computes the step,
+    // pins its blocks, and truncates lineage on job completion) — the
+    // eager-checkpoint shape paid a second job per round just to read
+    // the changed-row count off already-pinned blocks. (Fusing two
+    // rounds per checkpoint was measured SLOWER at sf0.1 — the inner
+    // round's subtree is referenced three times and ReuseExchange does
+    // not collapse it under AQE — so the loop stays one-round-per-job.)
     while (!converged) {
       rounds += 1
       val step = round(labels.withColumn("__old", col("label")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       converged = step.filter(col("label") =!= col("__old")).count() == 0
       labels = step.drop("__old")
     }

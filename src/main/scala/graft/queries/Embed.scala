@@ -85,7 +85,17 @@ object Embed {
 
   /** IVF coarse assignment: centroids = vec_id < 8 (broadcast); assign
     * every vector to its nearest centroid — the scale path for ANN
-    * (probe only matching cells at query time). */
+    * (probe only matching cells at query time).
+    *
+    * Shape note (r6, measured): the 8× broadcast-NLJ inflation feeds a
+    * NARROW (vec_id, centroid_id, cos_sim) sort + WindowGroupLimit
+    * top-1, so the window exchange moves ≤1 row per vector per task —
+    * already the cheap plan. A map-side argmax fold over a broadcast
+    * centroid array (no inflation at all) was tried and measured ~35%
+    * SLOWER at sf0.1: higher-order-function lambdas evaluate
+    * interpreted, outside whole-stage codegen, and the nested
+    * fold-of-dot-products costs more than the flat projection the NLJ
+    * shape codegens. Kept as-is deliberately. */
   def q28IvfAssign(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).withColumn("q", qvec(col("embedding")))
     val cents = e.select(col("vec_id").as("centroid_id"), col("q").as("cv"))
@@ -131,22 +141,30 @@ object Embed {
       if (h60jvm(s"$p|$i") % 2 == 1) 1L else -1L))
   }
 
-  /** LSH bucketing over embeddings: 8 deterministic hyperplanes drawn
-    * from md5 of (plane, dim) — sign bits form the bucket key. */
-  def q29EmbedLsh(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).withColumn("q", qvec(col("embedding")))
+  /** All 8 hyperplane sign bits of a quantized vector as ONE map-side
+    * column: Σ_p (proj_p >= 0 ? 1L << p : 0) — value-identical to the
+    * old explode(0..7) → per-plane proj → groupBy(vec_id) sum(bit << p)
+    * (same addends, integer sum), but computed without inflating the
+    * corpus 8× and without the re-group shuffle (guide §2.4). */
+  private def bucketCol(q: Column): Column = {
     val wLit = typedLit(lshWeights)
-    val withBits = e.withColumn("p", explode(sequence(lit(0), lit(7))))
-      .withColumn("proj",
-        aggregate(
-          zip_with(col("q"), element_at(wLit, col("p") + 1), (x, w) => x * w),
-          lit(0L), (acc, v) => acc + v))
-      .withColumn("bit", when(col("proj") >= 0, lit(1)).otherwise(lit(0)))
-    withBits.groupBy("vec_id")
-      .agg(sum(expr("cast(bit as bigint) << p")).as("bucket"))
+    (0 until 8).map { p =>
+      val proj = aggregate(
+        zip_with(q, element_at(wLit, lit(p + 1)), (x, w) => x * w),
+        lit(0L), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH bucketing over embeddings: 8 deterministic hyperplanes drawn
+    * from md5 of (plane, dim) — sign bits form the bucket key. r6: the
+    * bucket is a single map-side expression; the only exchange left is
+    * the final groupBy(bucket). */
+  def q29EmbedLsh(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).withColumn("q", qvec(col("embedding")))
+      .withColumn("bucket", bucketCol(col("q")))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
-  }
 
   val q29Sql: String =
     s"""WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
@@ -173,6 +191,12 @@ object Embed {
     * ≈ 0.4 — random embeddings have no true dups; real corpora would
     * use ~0.95 with the identical plan). */
   def q40EmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    // shape note (r6, measured): a map-side bucketCol variant that
+    // carried vectors straight into the bucket self-join (dropping the
+    // explode/regroup and both re-attach joins) measured ~20% slower at
+    // sf0.1 — the 8 per-plane interpreted HOF projections per row cost
+    // more than the exchanges they removed, and the re-attach joins
+    // broadcast at this scale. Kept on the original shape.
     val e = embeddings(s, d).withColumn("q", qvec(col("embedding")))
     val wLit = typedLit(lshWeights)
     val buckets = e.withColumn("p", explode(sequence(lit(0), lit(7))))
@@ -228,6 +252,10 @@ object Embed {
     * reads only matching partitions), and the candidate join is bounded
     * by cell occupancy, never all-pairs. Queries = vec_id < 5. */
   def q43IvfProbe(s: SparkSession, d: String): DataFrame = {
+    // shape note (r6, measured): like q28, the assignment windows are
+    // already narrow + WindowGroupLimit-pruned; a map-side fold variant
+    // (broadcast centroid array, interpreted HOF lambdas) measured ~25%
+    // slower at sf0.1 — kept on the codegen-friendly NLJ+window shape.
     val e = embeddings(s, d).withColumn("q", qvec(col("embedding")))
       .withColumn("nrm", qnorm(col("q")))
     val cents = e.select(col("vec_id").as("centroid_id"), col("q").as("cv"),

@@ -59,9 +59,14 @@ object Rank {
     val spark = df.sparkSession
     val np = if (numParts > 0) numParts
              else spark.sessionState.conf.numShufflePartitions
+    // LAZY checkpoint (r6): the per-partition count job below is the
+    // first action over the checkpointed RDD, so it materializes the
+    // blocks AND counts in one job — the eager variant paid a separate
+    // materialization job first. Lineage truncation and block pinning
+    // are unchanged (doCheckpoint runs when the count job completes).
     val sorted = df.repartitionByRange(np, order: _*)
       .sortWithinPartitions(order: _*)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val counts = spark.sparkContext.runJob(sorted.queryExecution.toRdd,
       (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
         var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
@@ -101,10 +106,12 @@ object Rank {
     // (the tiny agg's shuffle, the window's exchange) must see the
     // range-partition id, and a bare spark_partition_id() downstream of
     // an exchange evaluates to the post-shuffle id
+    // lazy for the same one-job reason as withGlobalRank: the sums
+    // collect below is the materializing action
     val sorted = df.withColumn("__w", weightCol.cast("long"))
       .repartitionByRange(np, order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // per-partition totals: tiny shuffle (np rows after partial agg)
     val sums = sorted.groupBy(col("__pid"))
       .agg(sum(col("__w")).as("__s"))

@@ -92,6 +92,55 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().as[(Long, String)].collect().toSeq === Seq((1L, "z")))
   }
 
+  test("expire keeps time-travel boundary snapshot resolvable; expired id fails cleanly") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, freshDir(), "k")
+    t.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    (1 to 6).foreach(i => t.commitUpsert(Seq((1L, s"v$i")).toDF("k", "v")))
+    val ids = t.retainedSnapshotIds
+    t.expire(keepLast = 3)
+    val kept = t.retainedSnapshotIds
+    assert(kept === ids.takeRight(3))
+    // the BOUNDARY (oldest retained) snapshot must still resolve — q46
+    // time-travels to currentId - 3, exactly this retention edge
+    val boundary = kept.head
+    val rows = t.readRawAt(boundary)
+    assert(rows.count() > 0)
+    // a retained manifest pins its data files: latest-wins over the raw
+    // dump reproduces that snapshot's value for the hot key
+    val resolved = rows.orderBy(org.apache.spark.sql.functions.col("__delta_seq").desc)
+      .select("v").as[String].head()
+    assert(resolved === s"v${boundary}")
+    // reading an expired id fails cleanly (manifest json is gone)
+    val expired = ids.head
+    assert(!kept.contains(expired))
+    intercept[Exception](t.readRawAt(expired).count())
+  }
+
+  test("incremental state-scan cache: append-extended file sets read correctly") {
+    import spark.implicits._
+    // cacheStateScans on — the claim fast path; appends must be served
+    // by cache ∪ fresh-tail without a stale or duplicated view
+    val t = new SnapshotTable(spark, freshDir(), "k", tagCol = Some("st"),
+      frozenTags = Set("done"), cacheStateScans = true)
+    def rows(i: Long) = Seq((i, s"v$i", "todo")).toDF("k", "v", "st")
+    t.commitAppend(rows(1))
+    def wanted = t.readStates(Set("todo")).select("k", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(wanted === Seq((1L, "v1")))      // builds the cache
+    t.commitAppend(rows(2))                  // incremental tail 1 file
+    t.commitAppend(rows(3))                  // incremental tail 2 files
+    assert(wanted === Seq((1L, "v1"), (2L, "v2"), (3L, "v3")))
+    // a delta flipping a row out of the wanted tag shadows it through
+    // the UNCACHED shadow-key side, on top of the cached base
+    t.commitUpsert(Seq((2L, "v2", "done")).toDF("k", "v", "st"))
+    assert(wanted === Seq((1L, "v1"), (3L, "v3")))
+    // equivalence with the unpruned read at every step
+    val full = t.read().filter(org.apache.spark.sql.functions.col("st") === "todo")
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(full === wanted)
+  }
+
   test("compaction preserves the resolved view and drops deltas") {
     import spark.implicits._
     val t = new SnapshotTable(spark, freshDir(), "k")

@@ -3,6 +3,7 @@ package graft
 import graft.crawl.{CrawlConfig, CrawlEngine}
 import graft.image.ImageOps
 import graft.synth.Synth
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -51,6 +52,41 @@ class SourcesOpsSpec extends AnyFunSuite {
     assert(eng.enqueueSearches(Seq("речь", "данные")) === 0L)
     val (s2, u2) = eng.searchBatch(16)
     assert(s2 === 0L && u2 === 0L)
+  }
+
+  test("keyword max_seq prop tracks the table max; re-enqueue reads it with zero agg jobs") {
+    import spark.implicits._
+    val eng = new CrawlEngine(spark, Files.createTempDirectory("kwprop").toString,
+      CrawlConfig(universe = 100))
+    assert(eng.enqueueSearches(Seq("a", "b")) === 2L)
+    assert(eng.keywords.getProp(CrawlEngine.MaxSeqProp) === Some("1"))
+    // mixed dup/new: "b" is gated out (its candidate seq 2 is a gap),
+    // "c" survives at seq 3 — the prop must track the TABLE max (3),
+    // exactly what the old per-call aggregate observed
+    assert(eng.enqueueSearches(Seq("b", "c")) === 1L)
+    assert(eng.keywords.getProp(CrawlEngine.MaxSeqProp) === Some("3"))
+    val seqs = eng.keywords.read().select("query", "seq")
+      .as[(String, Long)].collect().toMap
+    assert(seqs === Map("a" -> 0L, "b" -> 1L, "c" -> 3L))
+    // next enqueue continues from the prop (no table agg): "d" gets 4
+    assert(eng.enqueueSearches(Seq("d")) === 1L)
+    assert(eng.keywords.read().filter(col("query") === "d")
+      .select("seq").as[Long].head() === 4L)
+    // the prop read itself runs ZERO Spark jobs; an all-dup enqueue
+    // (nothing to commit) runs only the gate's key-scan ACTION — under
+    // AQE that one action schedules a few stage-jobs, so the bound
+    // allows those while still failing if the old per-call table
+    // aggregate (its own separate action) came back
+    val probeJobs = {
+      val b = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      eng.keywords.readKeys().count() // the gate-scan shape, measured
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - b
+    }
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(eng.enqueueSearches(Seq("a", "d")) === 0L)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after - before <= probeJobs + 2,
+      s"expected one gate action (~$probeJobs jobs + join stages), got ${after - before}")
   }
 
   test("executor-side keyword expansion == driver-side expansion (byte-equal frontier)") {
