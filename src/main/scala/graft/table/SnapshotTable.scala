@@ -300,41 +300,99 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
   }
 
   /** Per-bucket pruned state scan for bucket-local consumers: for each
-    * bucket with wanted-tag files, ONE single-partition DataFrame
-    * holding the bucket's wanted-tag rows (full columns, `__cand` true)
-    * plus its other-tag DELTA rows (they shadow wanted rows by key;
-    * `__cand` false), each row carrying `__delta_seq`. Other-tag BASE
-    * files are skipped exactly like `readStates`. Because a key's
-    * bucket never changes (bucket = hash of a key-determined column),
-    * merge-on-read resolution is closed within the bucket, so a
-    * downstream `mapPartitions` gets one task per bucket with
-    * everything it needs — no exchange. Shadow rows are read in full
-    * rather than key-only: they are since-compaction deltas, small by
-    * the compaction invariant, and the simpler scan keeps the per-task
-    * logic uniform. */
+    * participating bucket, ONE single-partition DataFrame holding the
+    * bucket's wanted-tag rows (full columns, `__cand` true) plus its
+    * other-tag DELTA rows (they shadow wanted rows by key; `__cand`
+    * false), each row carrying `__delta_seq`. Other-tag BASE files are
+    * skipped exactly like `readStates`. Because a key's bucket never
+    * changes (bucket = hash of a key-determined column), merge-on-read
+    * resolution is closed within the bucket, so a downstream
+    * `mapPartitions` gets one task per bucket with everything it needs
+    * — no exchange.
+    *
+    * DELTA files are written UNBUCKETED (r6): the per-(tag, bucket)
+    * delta split made every state-flip commit write O(B) near-empty
+    * files, and the per-batch fixed costs of those files (move, footer
+    * stat, manifest row, scan open) dominated the bucketed drain. Each
+    * bucket's task instead re-derives its delta slice in-task with the
+    * SAME `pmod(hash(bucketCol), B)` expression the writer uses for
+    * base files — a narrow filter, still zero exchanges. Deltas are
+    * since-compaction-small by the compaction invariant, so the B-fold
+    * delta re-read is bounded (and page-cached). Legacy bucketed delta
+    * files pass through the same filter (a no-op for them). */
+  /** Per-bucket cached wanted-base scans (cacheStateScans only), keyed
+    * (bucket → (tags, file set, df)) with the same incremental
+    * append-extension rule as `stateScanCache`. */
+  @volatile private var bucketScanCache: Map[Int, (Set[String], Seq[String], DataFrame)] =
+    Map.empty
+
   def bucketedStateScan(wantTags: Set[String]): Seq[(Int, DataFrame)] = {
     require(tagCol.isDefined && bucketBy.isDefined,
       "bucketedStateScan requires tagCol and bucketBy")
     val m = currentManifest.getOrElse(return Seq.empty)
     val schema = StructType.fromDDL(m.schemaDdl)
-    require(m.files.forall(_.bucket >= 0),
-      s"bucketedStateScan over a table with unbucketed files")
-    m.files.groupBy(_.bucket).toSeq.sortBy(_._1).flatMap { case (b, fs) =>
-      val wanted = fs.filter(f => wantTags(f.tag)).map(f => (f, true))
-      val shadows = fs.filter(f => !wantTags(f.tag) && f.kind == "delta")
-        .map(f => (f, false))
-      if (wanted.isEmpty) None
-      else {
-        val df = (wanted ++ shadows)
-          .groupBy { case (f, c) => (f.deltaSeq, c) }.toSeq.sortBy(_._1)
-          .map { case ((seq, c), group) =>
+    val (bases, deltas) = m.files.partition(_.kind == "base")
+    require(bases.forall(_.bucket >= 0),
+      s"bucketedStateScan over a table with unbucketed base files")
+    val (srcCol, nBuckets) = bucketBy.get
+    // ALL since-compaction delta rows as ONE pinned frame, bucket
+    // precomputed: each delta file is decoded ONCE per claim; the 16
+    // per-bucket branches then apply a narrow in-memory filter. (The
+    // naive shape — every bucket re-scanning every delta file — decoded
+    // the delta set B times per claim; the pre-r6 per-(tag,bucket)
+    // delta files avoided that but wrote O(B) files per commit, whose
+    // fixed costs dominated the bucketed drain instead.) Lazy
+    // checkpoint: the claim job itself materializes it.
+    val deltaUnion: Option[DataFrame] =
+      if (deltas.isEmpty) None
+      else Some(
+        deltas.groupBy(f => (f.deltaSeq, wantTags(f.tag))).toSeq.sortBy(_._1)
+          .map { case ((seq, cand), fs) =>
             spark.read.schema(schema)
-              .parquet(group.map { case (f, _) => root.resolve(f.path).toString }: _*)
+              .parquet(fs.map(f => root.resolve(f.path).toString): _*)
               .withColumn("__delta_seq", lit(seq))
-              .withColumn("__cand", lit(c))
+              .withColumn("__cand", lit(cand))
           }.reduce(_ unionByName _)
-        Some(b -> df.coalesce(1))
+          .withColumn("__b", pmod(hash(col(srcCol)), lit(nBuckets)))
+          .localCheckpoint(false))
+    val wantedBases = bases.filter(f => wantTags(f.tag)).groupBy(_.bucket)
+    // a bucket participates if it has wanted base rows; when a wanted-
+    // tag DELTA exists (recovery re-pends — rare), its rows' buckets
+    // are unknowable from the manifest, so every bucket participates
+    val bucketIds: Seq[Int] =
+      if (deltas.exists(f => wantTags(f.tag))) (0 until nBuckets)
+      else wantedBases.keys.toSeq.sorted
+    // per-bucket base scan, cache-resident with incremental append
+    // extension (the bucketed twin of the readStates fast-path cache):
+    // without it every claim re-decoded the whole pending set
+    def bucketBase(b: Int, fs: Seq[FileEntry]): DataFrame = {
+      val sig = fs.map(_.path)
+      def fresh() = spark.read.schema(schema)
+        .parquet(sig.map(p => root.resolve(p).toString): _*)
+      if (!cacheStateScans) fresh()
+      else bucketScanCache.get(b) match {
+        case Some((t, csig, df)) if t == wantTags && csig == sig => df
+        case Some((t, csig, df)) if t == wantTags && sig.size > csig.size &&
+            sig.take(csig.size) == csig &&
+            sig.size - csig.size <= IncrementalScanMaxFiles =>
+          df.unionByName(spark.read.schema(schema)
+            .parquet(sig.drop(csig.size).map(p => root.resolve(p).toString): _*))
+        case prev =>
+          prev.foreach(_._3.unpersist())
+          val df = fresh().cache()
+          bucketScanCache = bucketScanCache.updated(b, (wantTags, sig, df))
+          df
       }
+    }
+    bucketIds.sorted.flatMap { b =>
+      val baseDf = wantedBases.get(b).map(fs =>
+        bucketBase(b, fs)
+          .withColumn("__delta_seq", lit(0L))
+          .withColumn("__cand", lit(true)))
+      val deltaDf = deltaUnion.map(_.filter(col("__b") === b).drop("__b"))
+      val parts = baseDf.toSeq ++ deltaDf.toSeq
+      if (parts.isEmpty) None
+      else Some(b -> parts.reduce(_ unionByName _).coalesce(1))
     }
   }
 
@@ -591,24 +649,32 @@ final class SnapshotTable(spark: SparkSession, dir: String, keyCol: String,
     val tmp = Files.createTempDirectory(root, s".stage-$snapId-")
     try {
       // duplicate partition columns: partitionBy drops them from data
-      // files, but readers want the real columns in-row
+      // files, but readers want the real columns in-row.
+      // Only BASE files are bucket-split (r6): bucket-closure of the
+      // claim needs the BULK data (pending bases) pre-sliced; deltas
+      // are since-compaction-small and re-sliced in-task by
+      // bucketedStateScan, so splitting every state-flip commit into
+      // O(B) near-empty files bought nothing and its per-file fixed
+      // costs (move, footer stat, manifest row, scan open) were the
+      // bucketed drain's dominant term.
+      val bucketThis = bucketBy.isDefined && kind == "base"
       var out = df
       tagCol.foreach(tc => out = out.withColumn("__tag", col(tc)))
-      bucketBy.foreach { case (src, n) =>
+      if (bucketThis) bucketBy.foreach { case (src, n) =>
         out = out.withColumn("__bucket", pmod(hash(col(src)), lit(n)))
       }
       val partCols = tagCol.map(_ => "__tag").toSeq ++
-        bucketBy.map(_ => "__bucket").toSeq
-      // bucketed tables: ONE file per (tag, bucket) per commit. Without
-      // this, partitionBy splits every writer task's rows across all its
-      // (tag, bucket) combinations — a B-bucket table writes O(tasks·B)
-      // near-empty files per delta commit, and the per-file fixed costs
-      // (move, footer read, manifest row, later scan open) dominate the
-      // drain. The extra exchange is O(batch) rows; each group hashes to
-      // exactly one partition, so the writer emits exactly one file per
-      // group. Tag-only tables stay with the caller's partitioning: the
-      // handful of tags present bounds their file count already.
-      if (bucketBy.isDefined)
+        (if (bucketThis) Seq("__bucket") else Nil)
+      // bucketed base writes: ONE file per (tag, bucket) per commit.
+      // Without this, partitionBy splits every writer task's rows across
+      // all its (tag, bucket) combinations — a B-bucket table writes
+      // O(tasks·B) near-empty files per append, and the per-file fixed
+      // costs dominate. The extra exchange is O(batch) rows; each group
+      // hashes to exactly one partition, so the writer emits exactly one
+      // file per group. Tag-only writes stay with the caller's
+      // partitioning: the handful of tags present bounds their file
+      // count already.
+      if (bucketThis)
         out = out.repartition(partCols.map(col): _*)
       val writer = out.write.mode("overwrite").options(writeOptions)
       if (partCols.isEmpty) writer.parquet(tmp.toString)

@@ -46,26 +46,26 @@ class BucketedClaimSpec extends AnyFunSuite {
     assert(engine.seenSet.as[Long].collect().sorted.toSeq === oracle.seen)
   }
 
-  test("bucketed delta commits write exactly one file per (tag, bucket)") {
-    // the writeData repartition guarantees it — without it, partitionBy
-    // splits every writer task across all its (tag, bucket) combos and
-    // a B-bucket table writes O(tasks·B) near-empty files per commit.
-    // Base generations from successive compactions share deltaSeq 0, so
-    // the per-commit invariant is only checkable on deltas.
-    val deltas = engine.frontier.currentManifest.get.files.filter(_.deltaSeq > 0)
+  test("delta commits are UNBUCKETED, one file per (deltaSeq, tag)") {
+    // r6: only base files are bucket-split — a per-(tag, bucket) delta
+    // split wrote O(B) near-empty files per state-flip commit and its
+    // per-file fixed costs dominated the bucketed drain; deltas are
+    // re-sliced in-task by bucketedStateScan instead.
+    val deltas = engine.frontier.currentManifest.get.files.filter(_.kind == "delta")
     assert(deltas.nonEmpty)
-    deltas.groupBy(f => (f.deltaSeq, f.tag, f.bucket)).foreach { case (k, fs) =>
-      assert(fs.size === 1, s"commit wrote ${fs.size} files for (deltaSeq, tag, bucket)=$k")
+    assert(deltas.forall(_.bucket < 0), "delta file carries a bucket")
+    deltas.groupBy(f => (f.deltaSeq, f.tag)).foreach { case (k, fs) =>
+      assert(fs.size === 1, s"commit wrote ${fs.size} files for (deltaSeq, tag)=$k")
     }
   }
 
-  test("every committed frontier file carries a bucket consistent with its rows") {
+  test("every committed base file carries a bucket consistent with its rows") {
     import org.apache.spark.sql.functions._
-    val files = engine.frontier.currentManifest.get.files
+    val files = engine.frontier.currentManifest.get.files.filter(_.kind == "base")
     assert(files.nonEmpty)
-    assert(files.forall(_.bucket >= 0), "unbucketed file in a bucketed table")
+    assert(files.forall(_.bucket >= 0), "unbucketed base file in a bucketed table")
     assert(files.forall(_.bucket < cfg.claimBuckets))
-    // spot-check: rows inside each file hash to the file's bucket
+    // spot-check: rows inside each base file hash to the file's bucket
     files.take(6).foreach { f =>
       val bad = spark.read.parquet(s"${engine.frontier.tableRoot}/${f.path}")
         .withColumn("__b", pmod(hash(col("host")), lit(cfg.claimBuckets)))
@@ -164,10 +164,17 @@ class BucketedClaimSpec extends AnyFunSuite {
     val tbl = messyTable(buckets = 4)
     val m = tbl.currentManifest.get
     val scans = tbl.bucketedStateScan(Set(FrontierState.Pending))
-    // buckets with no pending files are absent
-    val bucketsWithPending = m.files
-      .filter(f => f.tag == FrontierState.Pending).map(_.bucket).toSet
-    assert(scans.map(_._1).toSet === bucketsWithPending)
+    // participating buckets: those with pending BASE files — plus every
+    // bucket when a pending-tag DELTA exists (its rows' buckets are not
+    // manifest-attributable since deltas are unbucketed)
+    val bucketsWithPendingBase = m.files
+      .filter(f => f.kind == "base" && f.tag == FrontierState.Pending)
+      .map(_.bucket).toSet
+    val expected =
+      if (m.files.exists(f => f.kind == "delta" && f.tag == FrontierState.Pending))
+        (0 until 4).toSet
+      else bucketsWithPendingBase
+    assert(scans.map(_._1).toSet === expected)
     // terminal BASE bulk is never opened: total rows fed to the claim
     // are strictly fewer than the full table's file rows
     val openable = m.files.filter(f =>

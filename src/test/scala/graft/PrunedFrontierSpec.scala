@@ -136,6 +136,16 @@ class PrunedFrontierSpec extends AnyFunSuite {
     (3 until 5).foreach(lifecycleFuzz(_, mkBucketed, bucketScan = true))
   }
 
+  test("fuzz: bucketed + cacheStateScans — the incremental per-bucket cache resolves identically (2 seeds)") {
+    // covers the r6 per-bucket cached base scans (incremental append
+    // extension) + the checkpointed shared delta slice
+    def mkBucketedCached(dir: String) =
+      new SnapshotTable(spark, dir, "fp", tagCol = Some("state"),
+        frozenTags = Set(FrontierState.Processed, FrontierState.Failed),
+        bucketBy = Some(("host", 3)), cacheStateScans = true)
+    (7 until 9).foreach(lifecycleFuzz(_, mkBucketedCached, bucketScan = true))
+  }
+
   test("after a drain, the pending claim plan skips the terminal base bulk") {
     val dir = freshDir()
     // compactEvery = 4: this short drain must reach the steady state the
