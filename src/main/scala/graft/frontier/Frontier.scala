@@ -215,21 +215,45 @@ object Frontier {
       .withColumn("priority", lit(FrontierState.RecoveryPriority))
 
   /** Candidate URLs → FrontierEntry rows. Robots-disallowed urls enter
-    * directly as `failed` (terminal; counted in the seen set). */
+    * directly as `failed` (terminal; counted in the seen set).
+    *
+    * PURE COLUMN expressions (r6): the old typed `.map` forced an
+    * object ser/deser boundary in every enqueue — the gate's hot path —
+    * breaking whole-stage codegen between the discovery explode and the
+    * first-occurrence aggregation. Each scalar has a bit-identical
+    * column twin: `Hashing.fpCol`/`hostCol` (pinned by CodecHashSpec),
+    * and the robots decision re-derives `Synth.unit(key) < 0.05` as
+    * `shiftrightunsigned(xxhash64(key), 11) / 2^53` — the same XXH64
+    * kernel and the same IEEE ops (pinned by SourcesOpsSpec's twin
+    * test; the single-threaded parity oracle keeps using the scalars,
+    * so CrawlParitySpec cross-validates the whole corpus). */
   def toEntries(spark: SparkSession, urls: Dataset[SeedUrl], batchNo: Long,
                 seed: Long): DataFrame = {
-    import spark.implicits._
-    urls.map { s =>
-      val host = Hashing.host(s.url)
-      val policy = Synth.hostPolicy(host, seed)
-      val disallowed = Synth.isDisallowed(s.url, policy)
-      FrontierEntry(
-        fp = Hashing.fp(s.url), url = s.url, host = host,
-        priority = s.priority, seq = s.seq,
-        state = if (disallowed) FrontierState.Failed else FrontierState.Pending,
-        error = if (disallowed) "robots: disallowed" else null,
-        discoveredAt = batchNo, processedAt = -1L)
-    }.toDF()
+    val c = Hashing.canonicalizeCol(col("url"))
+    // path of the canonical url — scalar twin: Synth.isDisallowed
+    // (canonical urls always carry a "/" after the authority, so the
+    // scalar's j<0 → "/" branch only fires for "://"-less strings,
+    // which keep the whole string as path on both sides)
+    val path = when(!col("__c").rlike("(?s)://"),
+      col("__c")).otherwise(regexp_replace(col("__c"), "(?s)^.*?://[^/]*", ""))
+    // Synth.unit(s"policy:$seed:robots:$host") < 0.05, column form
+    val robots =
+      shiftrightunsigned(xxhash64(concat(lit(s"policy:$seed:robots:"), col("host"))), 11)
+        .cast("double") / lit((1L << 53).toDouble) < 0.05
+    val disallowed = robots && path.startsWith("/v/")
+    urls.toDF()
+      .withColumn("__c", c)
+      .withColumn("fp", xxhash64(col("__c")))
+      .withColumn("host", regexp_extract(col("__c"), "(?s)^.*?://([^/]*)", 1))
+      .withColumn("state",
+        when(disallowed, FrontierState.Failed).otherwise(FrontierState.Pending))
+      .withColumn("error",
+        when(col("state") === FrontierState.Failed, lit("robots: disallowed"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("discoveredAt", lit(batchNo))
+      .withColumn("processedAt", lit(-1L))
+      .select("fp", "url", "host", "priority", "seq", "state", "error",
+        "discoveredAt", "processedAt")
   }
 
   /** Host-policy table for a frontier (distinct hosts; deterministic

@@ -54,6 +54,41 @@ class SourcesOpsSpec extends AnyFunSuite {
     assert(s2 === 0L && u2 === 0L)
   }
 
+  test("toEntries column twins == scalar derivation over adversarial urls") {
+    import spark.implicits._
+    // the r6 columnized toEntries must reproduce the scalar path
+    // (Hashing.fp/host + Synth.hostPolicy/isDisallowed) bit-for-bit —
+    // the single-threaded parity oracle still uses the scalars
+    val urls = Seq(
+      "http://host1.example.com/v/abc",
+      "http://host1.example.com/v/abc#frag",
+      "  HTTP://Host9.EXAMPLE.com:80/v/x  ",
+      "http://host2.example.com",            // no path
+      "plainstring",                          // no scheme
+      "a://b",                                // minimal authority
+      "http://host3.example.com/other/path",  // non-/v/ path
+      "x://y/v/with:80/inside",               // ":80/" in path, not port
+      "http://host4.example.com/v/line\nbreak#f\nrag" // newlines
+    ) ++ (0 until 200).map(i => graft.synth.Synth.seedUrl(i).url)
+    val seed = graft.synth.Synth.DefaultSeed
+    val ds = spark.createDataset(urls.zipWithIndex.map { case (u, i) =>
+      graft.model.SeedUrl(u, 0, i.toLong) })
+    val got = graft.frontier.Frontier.toEntries(spark, ds, 7L, seed)
+      .as[graft.model.FrontierEntry].collect().sortBy(_.seq).toSeq
+    val want = urls.zipWithIndex.map { case (u, i) =>
+      val host = graft.util.Hashing.host(u)
+      val policy = graft.synth.Synth.hostPolicy(host, seed)
+      val dis = graft.synth.Synth.isDisallowed(u, policy)
+      graft.model.FrontierEntry(graft.util.Hashing.fp(u), u, host, 0, i.toLong,
+        if (dis) graft.model.FrontierState.Failed else graft.model.FrontierState.Pending,
+        if (dis) "robots: disallowed" else null, 7L, -1L)
+    }
+    assert(got === want)
+    // the corpus must actually exercise both branches
+    assert(want.exists(_.state == graft.model.FrontierState.Failed),
+      "no disallowed url in the twin corpus")
+  }
+
   test("keyword max_seq prop tracks the table max; re-enqueue reads it with zero agg jobs") {
     import spark.implicits._
     val eng = new CrawlEngine(spark, Files.createTempDirectory("kwprop").toString,
